@@ -1,0 +1,155 @@
+"""Attention bricks: multi-scale deformable attention and dense MHA.
+
+Numerical spec: /root/reference/models/bricks/ms_deform_attn.py:215-377
+(module) and torch nn.MultiheadAttention (batch_first) for the dense paths.
+Compute is channel-last; the sampling core lives in ops/deform_attn.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salience_detr_tpu.models.layers import Linear, uniform_in
+from salience_detr_tpu.ops.deform_attn import (
+    compute_sampling_locations,
+    ms_deform_attn_core,
+)
+
+
+def _offset_bias_init(num_heads: int, num_levels: int, num_points: int):
+    """Directional grid initialization of sampling offsets
+    (/root/reference/models/bricks/ms_deform_attn.py:266-284)."""
+    thetas = np.arange(num_heads, dtype=np.float64) * (2.0 * math.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (H, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    for i in range(num_points):
+        grid[:, :, i, :] *= i + 1
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.asarray(grid.reshape(-1), dtype)
+
+    return init
+
+
+class MultiScaleDeformableAttention(nn.Module):
+    embed_dim: int = 256
+    num_levels: int = 4
+    num_heads: int = 8
+    num_points: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, Q, C)
+        reference_points: jnp.ndarray,  # (B, Q, L, 2) or (B, Q, L, 4)
+        value: jnp.ndarray,  # (B, S, C)
+        spatial_shapes: Sequence[Tuple[int, int]],
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True=pad
+    ) -> jnp.ndarray:
+        B, Q, _ = query.shape
+        _, S, _ = value.shape
+        H, L, P = self.num_heads, self.num_levels, self.num_points
+        head_dim = self.embed_dim // H
+
+        value = nn.Dense(
+            self.embed_dim,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="value_proj",
+        )(value)
+        if key_padding_mask is not None:
+            value = jnp.where(key_padding_mask[..., None], 0.0, value)
+        value = value.reshape(B, S, H, head_dim)
+
+        offsets = nn.Dense(
+            H * L * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_offset_bias_init(H, L, P),
+            dtype=self.dtype,
+            name="sampling_offsets",
+        )(query).reshape(B, Q, H, L, P, 2)
+        weights = nn.Dense(
+            H * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights",
+        )(query).reshape(B, Q, H, L * P)
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1).astype(self.dtype)
+        weights = weights.reshape(B, Q, H, L, P)
+
+        locations = compute_sampling_locations(
+            reference_points.astype(jnp.float32), offsets.astype(jnp.float32),
+            spatial_shapes, P,
+        )
+        out = ms_deform_attn_core(value, spatial_shapes, locations, weights)
+        out = nn.Dense(
+            self.embed_dim,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="output_proj",
+        )(out)
+        return out
+
+
+class MultiheadAttention(nn.Module):
+    """Dense MHA matching torch nn.MultiheadAttention(batch_first=True):
+    merged in-proj (xavier-initialized by the callers), out-proj, optional
+    boolean attn_mask (True = blocked)."""
+
+    embed_dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, Q, C)
+        key: jnp.ndarray,  # (B, K, C)
+        value: jnp.ndarray,  # (B, K, C)
+        attn_mask: Optional[jnp.ndarray] = None,  # (Q, K) or (B, Q, K), True = blocked
+    ) -> jnp.ndarray:
+        B, Q, C = query.shape
+        H = self.num_heads
+        head_dim = C // H
+
+        def in_proj(x, idx, name):
+            return nn.Dense(
+                C,
+                kernel_init=nn.initializers.xavier_uniform(),
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name=name,
+            )(x)
+
+        q = in_proj(query, 0, "q_proj").reshape(B, Q, H, head_dim)
+        k = in_proj(key, 1, "k_proj").reshape(B, -1, H, head_dim)
+        v = in_proj(value, 2, "v_proj").reshape(B, -1, H, head_dim)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits / math.sqrt(head_dim)
+        if attn_mask is not None:
+            if attn_mask.ndim == 2:
+                attn_mask = attn_mask[None, None]
+            elif attn_mask.ndim == 3:
+                attn_mask = attn_mask[:, None]
+            logits = jnp.where(attn_mask, -1e30, logits)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, Q, C)
+        return nn.Dense(
+            C,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="out_proj",
+        )(out)

@@ -1,0 +1,161 @@
+"""Multi-scale deformable attention sampling core.
+
+Numerical spec: the reference's pure-PyTorch fallback
+``multi_scale_deformable_attn_pytorch`` (/root/reference/models/bricks/
+ms_deform_attn.py:159-212): per-level bilinear grid_sample with
+align_corners=False and zero padding, weighted-summed over levels x points.
+
+This module provides the XLA formulation (explicit corner gathers via
+take_along_axis — differentiable, fuses well, and is the correctness
+reference for the Pallas kernel in ops/pallas_deform_attn.py).
+
+Layout: channel-last / head-separated, value is (B, S, H, D) with S the total
+flattened multi-level token count.  Spatial shapes are STATIC python tuples —
+everything here compiles to fixed-shape gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def ms_deform_attn_core(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Deformable attention sampling.
+
+    value: (B, S, H, D) — padded positions must already be zeroed.
+    spatial_shapes: static [(h, w)] per level, sum(h*w) == S.
+    sampling_locations: (B, Q, H, L, P, 2) normalized [0, 1] (x, y).
+    attention_weights: (B, Q, H, L, P), softmaxed over L*P.
+    returns: (B, Q, H*D).
+    """
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    assert sum(h * w for h, w in spatial_shapes) == S
+
+    compute_dtype = value.dtype
+    # (B, H, S, D) so the gather axis is contiguous per (batch, head).
+    value_bh = jnp.swapaxes(value, 1, 2)
+
+    out = jnp.zeros((B, H, Q, D), dtype=jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # (B, Q, H, P, 2)
+        w_attn = attention_weights[:, :, :, lvl].astype(jnp.float32)  # (B, Q, H, P)
+
+        # grid_sample(align_corners=False): pixel centers at (i + 0.5).
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        acc = jnp.zeros((B, H, Q, P), dtype=jnp.float32)
+        idxs = []
+        cws = []
+        for dy, wy in ((0, 1.0 - fy), (1, fy)):
+            for dx, wx in ((0, 1.0 - fx), (1, fx)):
+                cx = x0i + dx
+                cy = y0i + dy
+                valid = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+                cxc = jnp.clip(cx, 0, w - 1)
+                cyc = jnp.clip(cy, 0, h - 1)
+                flat = start + cyc * w + cxc  # (B, Q, H, P)
+                corner_w = jnp.where(valid, wx * wy, 0.0)
+                idxs.append(flat)
+                cws.append(corner_w)
+
+        # Gather all 4 corners at once: (B, H, Q*P*4)
+        idx = jnp.stack(idxs, axis=-1)  # (B, Q, H, P, 4)
+        cw = jnp.stack(cws, axis=-1)  # (B, Q, H, P, 4)
+        idx_bh = jnp.transpose(idx, (0, 2, 1, 3, 4)).reshape(B, H, Q * P * 4)
+        gathered = jnp.take_along_axis(
+            value_bh, idx_bh[..., None], axis=2
+        )  # (B, H, Q*P*4, D)
+        gathered = gathered.reshape(B, H, Q, P, 4, D).astype(jnp.float32)
+        cw_bh = jnp.transpose(cw, (0, 2, 1, 3, 4))  # (B, H, Q, P, 4)
+        sampled = jnp.einsum("bhqpc,bhqpcd->bhqpd", cw_bh, gathered)
+
+        w_bh = jnp.transpose(w_attn, (0, 2, 1, 3))  # (B, H, Q, P)
+        out = out + jnp.einsum("bhqp,bhqpd->bhqd", w_bh, sampled)
+        start += h * w
+
+    # (B, H, Q, D) -> (B, Q, H*D)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, H * D)
+    return out.astype(compute_dtype)
+
+
+def compute_sampling_locations(
+    reference_points: jnp.ndarray,
+    sampling_offsets: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    num_points: int,
+) -> jnp.ndarray:
+    """Reference-point handling of the reference module
+    (/root/reference/models/bricks/ms_deform_attn.py:339-355).
+
+    reference_points: (B, Q, L, 2) normalized points or (B, Q, L, 4) boxes.
+    sampling_offsets: (B, Q, H, L, P, 2).
+    returns sampling_locations (B, Q, H, L, P, 2).
+    """
+    if reference_points.shape[-1] == 2:
+        # offsets are normalized by the per-level (w, h)
+        wh = jnp.asarray(
+            [(w, h) for h, w in spatial_shapes], dtype=sampling_offsets.dtype
+        )  # (L, 2)
+        return (
+            reference_points[:, :, None, :, None, :]
+            + sampling_offsets / wh[None, None, None, :, None, :]
+        )
+    elif reference_points.shape[-1] == 4:
+        return (
+            reference_points[:, :, None, :, None, :2]
+            + sampling_offsets
+            / num_points
+            * reference_points[:, :, None, :, None, 2:]
+            * 0.5
+        )
+    raise ValueError(
+        f"reference_points last dim must be 2 or 4, got {reference_points.shape[-1]}"
+    )
+
+
+def deform_attn_numpy_spec(value, spatial_shapes, sampling_locations, attention_weights):
+    """Slow numpy executable spec for differential testing (mirrors grid_sample
+    semantics directly; independent of the JAX implementation above)."""
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    out = np.zeros((B, Q, H, D), dtype=np.float64)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value[:, start : start + h * w].reshape(B, h, w, H, D).astype(np.float64)
+        for b in range(B):
+            for q in range(Q):
+                for hd in range(H):
+                    for p in range(P):
+                        lx, ly = sampling_locations[b, q, hd, lvl, p]
+                        x = lx * w - 0.5
+                        y = ly * h - 0.5
+                        x0, y0 = int(np.floor(x)), int(np.floor(y))
+                        fx, fy = x - x0, y - y0
+                        acc = np.zeros(D)
+                        for dy, wy in ((0, 1 - fy), (1, fy)):
+                            for dx, wx in ((0, 1 - fx), (1, fx)):
+                                cx, cy = x0 + dx, y0 + dy
+                                if 0 <= cx < w and 0 <= cy < h:
+                                    acc += wx * wy * v[b, cy, cx, hd]
+                        out[b, q, hd] += attention_weights[b, q, hd, lvl, p] * acc
+        start += h * w
+    return out.reshape(B, Q, H * D)

@@ -1,0 +1,137 @@
+"""On-device non-maximum suppression.
+
+Two variants:
+
+1. ``grid_nms_topk`` — the exact on-device equivalent of the reference's
+   ``nms_on_topk_index`` (/root/reference/models/bricks/
+   salience_transformer.py:249-295).  The reference builds degenerate 2x2
+   boxes (x-1, y-1, x+1, y+1) on the feature grid and runs class-batched NMS
+   with iou=0.3 per (image, level).  For integer grid coordinates the IoU of
+   two such boxes exceeds 0.3 **iff** they are 4-neighbours on the same level
+   grid (overlap 2 -> IoU 1/3; diagonal overlap 1 -> IoU 1/7).  Greedy NMS
+   therefore reduces to a fixpoint over the 4-neighbour conflict graph, which
+   runs in a handful of vectorized iterations instead of a 3600-step
+   sequential loop.
+
+2. ``nms_keep_mask`` — generic greedy NMS via the same fixpoint iteration on
+   the full pairwise-IoU conflict matrix (used by the optional postprocess
+   filter, /root/reference/models/bricks/post_process.py:50-62).
+
+Both compute the *exact* sequential-greedy result: a candidate is kept iff no
+higher-scoring kept candidate conflicts with it; the fixpoint converges in at
+most the depth of the conflict-chain DAG.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salience_detr_tpu.ops.boxes import box_iou_pairwise
+
+
+def _greedy_fixpoint(conflict_with_higher, num_candidates: int):
+    """Iterate keep[i] = !any_j (rank_j < rank_i && conflict && keep[j]).
+
+    conflict_with_higher(keep) -> bool (n,): whether each candidate currently
+    has a higher-ranked *kept* conflicting candidate.  Candidates must be
+    supplied in rank (descending score) order.
+    """
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < num_candidates)
+
+    def body(state):
+        keep, _, it = state
+        new_keep = ~conflict_with_higher(keep)
+        return new_keep, keep, it + 1
+
+    keep0 = jnp.ones((num_candidates,), bool)
+    prev0 = jnp.zeros((num_candidates,), bool)
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, prev0, jnp.int32(0)))
+    return keep
+
+
+def grid_nms_topk(
+    topk_index: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    num_out: int,
+) -> jnp.ndarray:
+    """Per-image grid NMS over top-k token indices, already sorted by score.
+
+    topk_index: (K,) int32 flat token indices (descending score order).
+    returns: (num_out,) int32 token indices — the first ``num_out`` survivors
+    in score order; if fewer survive, remaining slots are filled with the
+    best-scoring suppressed candidates (the dynamic reference instead shrinks
+    the proposal set, which static shapes forbid).
+    """
+    K = topk_index.shape[0]
+    shapes = np.asarray(spatial_shapes, np.int32)
+    starts = np.concatenate([[0], np.cumsum(shapes[:, 0] * shapes[:, 1])])
+    total = int(starts[-1])
+
+    # per-candidate level, (x, y) on its grid
+    lvl = jnp.zeros((K,), jnp.int32)
+    for l in range(1, len(spatial_shapes)):
+        lvl = jnp.where(topk_index >= int(starts[l]), l, lvl)
+    start_l = jnp.asarray(starts[:-1], jnp.int32)[lvl]
+    w_l = jnp.asarray(shapes[:, 1], jnp.int32)[lvl]
+    h_l = jnp.asarray(shapes[:, 0], jnp.int32)[lvl]
+    spatial = topk_index - start_l
+    x = spatial % w_l
+    y = spatial // w_l
+
+    # dense rank map over all tokens: rank of candidate occupying the token, else K
+    rank_map = jnp.full((total,), K, jnp.int32).at[topk_index].set(
+        jnp.arange(K, dtype=jnp.int32)
+    )
+
+    # 4-neighbour flat indices (invalid -> own index, masked below)
+    nb_idx = jnp.stack(
+        [
+            jnp.where(x > 0, topk_index - 1, -1),
+            jnp.where(x < w_l - 1, topk_index + 1, -1),
+            jnp.where(y > 0, topk_index - w_l, -1),
+            jnp.where(y < h_l - 1, topk_index + w_l, -1),
+        ],
+        axis=-1,
+    )  # (K, 4)
+    nb_valid = nb_idx >= 0
+    nb_rank = rank_map[jnp.clip(nb_idx, 0)]  # (K, 4)
+    nb_rank = jnp.where(nb_valid, nb_rank, K)
+    my_rank = jnp.arange(K, dtype=jnp.int32)[:, None]
+    nb_is_higher = nb_rank < my_rank  # higher score = lower rank
+
+    def conflict_with_higher(keep):
+        keep_ext = jnp.concatenate([keep, jnp.zeros((1,), bool)])
+        nb_kept = keep_ext[jnp.clip(nb_rank, 0, K)]
+        return jnp.any(nb_is_higher & nb_kept, axis=-1)
+
+    keep = _greedy_fixpoint(conflict_with_higher, K)
+
+    # survivors first (rank order), then suppressed (rank order)
+    sort_key = jnp.arange(K, dtype=jnp.int32) + jnp.where(keep, 0, K)
+    order = jnp.argsort(sort_key)
+    return topk_index[order[:num_out]]
+
+
+def nms_keep_mask(
+    boxes: jnp.ndarray, iou_threshold: float
+) -> jnp.ndarray:
+    """Greedy NMS keep-mask for boxes already sorted by descending score.
+
+    boxes: (N, 4) xyxy.  Returns (N,) bool keep mask (exact greedy result).
+    """
+    N = boxes.shape[0]
+    iou, _ = box_iou_pairwise(boxes, boxes)
+    higher = jnp.arange(N)[None, :] < jnp.arange(N)[:, None]  # j < i: j ranked higher
+    conflict = (iou > iou_threshold) & higher  # (i, j)
+
+    def conflict_with_higher(keep):
+        return jnp.any(conflict & keep[None, :], axis=-1)
+
+    return _greedy_fixpoint(conflict_with_higher, N)

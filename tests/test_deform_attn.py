@@ -1,0 +1,111 @@
+"""Differential tests for the deformable-attention sampling core.
+
+Three-way check: JAX XLA implementation vs (a) the slow numpy spec and
+(b) torch.nn.functional.grid_sample (the reference fallback's backbone,
+/root/reference/models/bricks/ms_deform_attn.py:159-212), at the reference's
+ONNX-verification tolerances (rtol 1e-3 / atol 1e-5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from salience_detr_tpu.ops.deform_attn import (
+    compute_sampling_locations,
+    deform_attn_numpy_spec,
+    ms_deform_attn_core,
+)
+
+SHAPES = [(8, 12), (4, 6), (2, 3)]
+S = sum(h * w for h, w in SHAPES)
+
+
+def make_inputs(seed, B=2, Q=7, H=2, D=4, P=3, loc_range=(-0.2, 1.2)):
+    rng = np.random.default_rng(seed)
+    value = rng.normal(size=(B, S, H, D)).astype(np.float32)
+    locs = rng.uniform(*loc_range, size=(B, Q, H, len(SHAPES), P, 2)).astype(np.float32)
+    w = rng.uniform(size=(B, Q, H, len(SHAPES), P)).astype(np.float32)
+    w = w / w.sum(axis=(-2, -1), keepdims=True)
+    return value, locs, w
+
+
+def torch_msda(value, shapes, locs, weights):
+    """Independent torch expression of the reference fallback via grid_sample."""
+    B, S_, H, D = value.shape
+    _, Q, _, L, P, _ = locs.shape
+    value = torch.tensor(value)
+    locs = torch.tensor(locs)
+    weights = torch.tensor(weights)
+    splits = [h * w for h, w in shapes]
+    value_list = value.split(splits, dim=1)
+    grids = 2 * locs - 1
+    sampled = []
+    for lvl, (h, w) in enumerate(shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(B * H * D, 1, h, w)
+        # expand grid per (head); grid_sample wants (N, Hout, Wout, 2)
+        g = grids[:, :, :, lvl].permute(0, 2, 1, 3, 4).reshape(B * H, Q, P, 2)
+        v2 = value_list[lvl].permute(0, 2, 3, 1).reshape(B * H, D, -1).reshape(B * H, D, h * w)
+        v2 = v2.reshape(B * H, D, h, w)
+        out = F.grid_sample(v2, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        sampled.append(out)  # (B*H, D, Q, P)
+    attn = weights.permute(0, 2, 1, 3, 4).reshape(B * H, 1, Q, L * P)
+    out = torch.stack(sampled, dim=-2).flatten(-2)  # (B*H, D, Q, L*P)
+    out = (out * attn).sum(-1).view(B, H * D, Q).transpose(1, 2)
+    return out.numpy()
+
+
+class TestDeformAttnCore:
+    def test_vs_numpy_spec(self):
+        value, locs, w = make_inputs(0)
+        got = np.asarray(ms_deform_attn_core(jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
+        want = deform_attn_numpy_spec(value, SHAPES, locs, w)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_vs_torch_grid_sample(self):
+        value, locs, w = make_inputs(1)
+        got = np.asarray(ms_deform_attn_core(jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w)))
+        want = torch_msda(value, SHAPES, locs, w)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_out_of_bounds_zero(self):
+        value, locs, w = make_inputs(2)
+        locs_far = np.full_like(locs, 5.0)  # fully outside -> zeros
+        got = np.asarray(
+            ms_deform_attn_core(jnp.asarray(value), SHAPES, jnp.asarray(locs_far), jnp.asarray(w))
+        )
+        np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+    def test_gradients_flow(self):
+        value, locs, w = make_inputs(3, B=1, Q=3)
+
+        def f(v, l, a):
+            return jnp.sum(ms_deform_attn_core(v, SHAPES, l, a) ** 2)
+
+        grads = jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w)
+        )
+        for g in grads:
+            assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(grads[0]).sum()) > 0
+
+    def test_sampling_locations_point_and_box(self):
+        B, Q, H, L, P = 1, 4, 2, 3, 2
+        rng = np.random.default_rng(4)
+        offsets = jnp.asarray(rng.normal(size=(B, Q, H, L, P, 2)).astype(np.float32))
+        ref2 = jnp.asarray(rng.uniform(size=(B, Q, L, 2)).astype(np.float32))
+        loc2 = compute_sampling_locations(ref2, offsets, SHAPES, P)
+        # level 0 normalizer is (w=12, h=8)
+        want = (
+            np.asarray(ref2)[:, :, 0][:, :, None, None, :]
+            + np.asarray(offsets)[:, :, :, 0] / np.array([12.0, 8.0])
+        )
+        np.testing.assert_allclose(np.asarray(loc2)[:, :, :, 0], want, atol=1e-6)
+
+        ref4 = jnp.asarray(rng.uniform(size=(B, Q, L, 4)).astype(np.float32))
+        loc4 = compute_sampling_locations(ref4, offsets, SHAPES, P)
+        want4 = (
+            np.asarray(ref4)[:, :, None, :, None, :2]
+            + np.asarray(offsets) / P * np.asarray(ref4)[:, :, None, :, None, 2:] * 0.5
+        )
+        np.testing.assert_allclose(np.asarray(loc4), want4, atol=1e-6)
