@@ -1,0 +1,70 @@
+"""Benchmark: images/sec/chip for ResNet-50 Salience-DETR inference at the
+800x1344 eval canvas (the reference's 800x1333 padded to /32,
+/root/reference/util/misc.py:75-104), bf16 compute.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor: the reference publishes no throughput numbers
+(SURVEY.md §6); tools/benchmark_model.py measures but does not report.  We
+anchor on an estimated ~15 img/s for the reference R50 on a modern
+datacenter GPU at batch 1-4 (deformable-DETR-class models at 800x1333 run
+10-20 FPS there; Salience-DETR claims ~70% of dense two-stage FLOPs).
+BASELINE.json's target is >=2x that per chip, so vs_baseline is
+value / (2 * 15.0) — >= 1.0 means the north-star throughput target is met.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_GPU_IMG_S = 15.0
+TARGET_MULT = 2.0
+
+
+def main():
+    from salience_detr_tpu.models.factory import SalienceDETRConfig, build_salience_detr
+
+    batch = 4
+    H, W = 800, 1344
+    cfg = SalienceDETRConfig(dtype=jnp.bfloat16)
+    model, _, _, _ = build_salience_detr(cfg)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-2, 2, size=(batch, H, W, 3)).astype(np.float32))
+    image_sizes = jnp.asarray([[H, W]] * batch, np.int32)
+
+    variables = model.init({"params": jax.random.PRNGKey(0)}, images, image_sizes, train=False)
+
+    @jax.jit
+    def forward(images, image_sizes):
+        out = model.apply(variables, images, image_sizes, train=False)
+        return out["pred_class"][-1], out["pred_coord"][-1]
+
+    # warmup / compile
+    jax.block_until_ready(forward(images, image_sizes))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(images, image_sizes)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_s = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip R50 800x1344 inference bf16",
+                "value": round(img_s, 3),
+                "unit": "img/s",
+                "vs_baseline": round(img_s / (TARGET_MULT * REF_GPU_IMG_S), 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

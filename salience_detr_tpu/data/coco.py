@@ -1,0 +1,169 @@
+"""COCO-format detection dataset (self-contained JSON parsing, cv2 decode).
+
+Behavioral spec: /root/reference/datasets/coco.py:14-161 (CocoDetection with
+cv2 imdecode BGR->RGB, train-time filtering of annotation-less images,
+ConvertCocoPolysToMask target prep at /root/reference/transforms/
+convert_coco_polys_to_mask.py:7-80) — without the pycocotools dependency:
+the annotation index is built directly from the JSON, and the same index
+feeds the native evaluator (utils/coco_eval.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+try:
+    import cv2
+
+    cv2.setNumThreads(0)
+    try:
+        cv2.ocl.setUseOpenCL(False)
+    except Exception:
+        pass
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+class CocoIndex:
+    """Minimal in-memory COCO annotation index (replaces pycocotools.COCO)."""
+
+    def __init__(self, ann_file: str):
+        with open(ann_file) as f:
+            data = json.load(f)
+        self.dataset = data
+        self.imgs = {img["id"]: img for img in data.get("images", [])}
+        self.cats = {c["id"]: c for c in data.get("categories", [])}
+        self.img_to_anns: Dict[int, List[dict]] = {i: [] for i in self.imgs}
+        for ann in data.get("annotations", []):
+            self.img_to_anns.setdefault(ann["image_id"], []).append(ann)
+        self.img_ids = sorted(self.imgs)
+        self.cat_ids = sorted(self.cats)
+
+    def annotations(self, img_id: int) -> List[dict]:
+        return self.img_to_anns.get(img_id, [])
+
+
+def _prepare_target(img_h: int, img_w: int, anns: List[dict]) -> Dict[str, np.ndarray]:
+    """COCO anns -> clamped xyxy boxes + labels, dropping degenerate boxes and
+    crowd annotations (ConvertCocoPolysToMask semantics)."""
+    anns = [a for a in anns if a.get("iscrowd", 0) == 0]
+    boxes = np.asarray([a["bbox"] for a in anns], np.float32).reshape(-1, 4)
+    # xywh -> xyxy, clamp to image
+    boxes[:, 2:] += boxes[:, :2]
+    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, img_w)
+    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, img_h)
+    labels = np.asarray([a["category_id"] for a in anns], np.int64)
+    area = np.asarray([a.get("area", 0.0) for a in anns], np.float32)
+    keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+    return {
+        "boxes": boxes[keep],
+        "labels": labels[keep],
+        "area": area[keep],
+    }
+
+
+class CocoDetection:
+    """Map-style dataset yielding transform-ready sample dicts."""
+
+    def __init__(
+        self,
+        img_folder: str,
+        ann_file: str,
+        transforms: Optional[Callable] = None,
+        train: bool = False,
+    ):
+        self.img_folder = img_folder
+        self.coco = CocoIndex(ann_file)
+        self.transforms = transforms
+        self.train = train
+        ids = list(self.coco.img_ids)
+        if train:
+            # filter images without (valid) annotations (datasets/coco.py:98-133)
+            ids = [
+                i
+                for i in ids
+                if len(_prepare_target(
+                    self.coco.imgs[i].get("height", 1 << 30),
+                    self.coco.imgs[i].get("width", 1 << 30),
+                    self.coco.annotations(i),
+                )["labels"]) > 0
+            ]
+        self.ids = ids
+
+    def __len__(self):
+        return len(self.ids)
+
+    def _load_image(self, file_name: str) -> np.ndarray:
+        path = os.path.join(self.img_folder, file_name)
+        with open(path, "rb") as f:
+            buf = np.frombuffer(f.read(), np.uint8)
+        img = cv2.imdecode(buf, cv2.IMREAD_COLOR)  # BGR
+        return np.ascontiguousarray(img[:, :, ::-1])  # RGB
+
+    def __getitem__(self, idx: int):
+        img_id = self.ids[idx]
+        info = self.coco.imgs[img_id]
+        image = self._load_image(info["file_name"])
+        h, w = image.shape[:2]
+        target = _prepare_target(h, w, self.coco.annotations(img_id))
+        sample = {
+            "image": image,
+            "boxes": target["boxes"],
+            "labels": target["labels"],
+            "area": target["area"],
+            "image_id": img_id,
+            "orig_size": np.asarray([h, w], np.int32),
+        }
+        if self.transforms is not None:
+            rng = random.Random(random.getrandbits(64))
+            sample = self.transforms(sample, rng)
+        return sample
+
+
+class Object365Detection(CocoDetection):
+    """Objects365 variant: path remapping + corrupt-image retry
+    (/root/reference/datasets/coco.py:136-161)."""
+
+    def __getitem__(self, idx: int):
+        for attempt in range(16):
+            try:
+                return super().__getitem__((idx + attempt) % len(self))
+            except Exception:
+                continue
+        raise RuntimeError(f"could not load any image near index {idx}")
+
+
+class InferenceDataset:
+    """Folder-of-images dataset (/root/reference/inference.py:61-75)."""
+
+    EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+    def __init__(self, image_dir: str):
+        self.paths = sorted(
+            os.path.join(image_dir, f)
+            for f in os.listdir(image_dir)
+            if f.lower().endswith(self.EXTS)
+        )
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int):
+        with open(self.paths[idx], "rb") as f:
+            buf = np.frombuffer(f.read(), np.uint8)
+        img = cv2.imdecode(buf, cv2.IMREAD_COLOR)[:, :, ::-1]
+        img = np.ascontiguousarray(img)
+        h, w = img.shape[:2]
+        return {
+            "image": img,
+            "boxes": np.zeros((0, 4), np.float32),
+            "labels": np.zeros((0,), np.int64),
+            "image_id": idx,
+            "path": self.paths[idx],
+            "orig_size": np.asarray([h, w], np.int32),
+        }

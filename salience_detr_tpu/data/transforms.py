@@ -1,0 +1,212 @@
+"""Host-side train augmentations (numpy/cv2), replacing the reference's
+vendored ~9.5k-LoC torchvision-v2 transform stack (/root/reference/
+transforms/).  The device consumes fixed-canvas uint8 batches; normalization
+happens on device fused into the compiled step, so host transforms only do
+geometry/color in numpy.
+
+Preset parity (/root/reference/transforms/presets.py):
+* ``detr`` (default train preset, presets.py:60-74): hflip(0.5) +
+  RandomChoice(multi-scale shortest-size resize | resize->RandomSizeCrop->
+  resize) + box sanitization;
+* ``hflip``, ``multiscale``, ``basic``, ``lsj`` likewise.
+
+Sample dict contract: {"image": HxWx3 uint8 RGB, "boxes": (N, 4) float32
+xyxy absolute, "labels": (N,) int64}.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, Dict, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+cv2.setNumThreads(0)
+
+SCALES = [480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800]
+
+Sample = Dict[str, np.ndarray]
+
+
+def hflip(sample: Sample) -> Sample:
+    img = sample["image"][:, ::-1]
+    boxes = sample["boxes"].copy()
+    w = img.shape[1]
+    boxes[:, [0, 2]] = w - sample["boxes"][:, [2, 0]]
+    return {**sample, "image": np.ascontiguousarray(img), "boxes": boxes}
+
+
+def resize(sample: Sample, size_hw) -> Sample:
+    h, w = sample["image"].shape[:2]
+    nh, nw = size_hw
+    img = cv2.resize(sample["image"], (nw, nh), interpolation=cv2.INTER_LINEAR)
+    boxes = sample["boxes"] * np.array([nw / w, nh / h, nw / w, nh / h], np.float32)
+    return {**sample, "image": img, "boxes": boxes.astype(np.float32)}
+
+
+def shortest_size(sample: Sample, min_size: int, max_size: Optional[int] = None) -> Sample:
+    """torchvision RandomShortestSize geometry: r = min(min/min_dim,
+    max/max_dim); new = round(dim * r)."""
+    h, w = sample["image"].shape[:2]
+    r = min_size / min(h, w)
+    if max_size is not None:
+        r = min(r, max_size / max(h, w))
+    return resize(sample, (int(round(h * r)), int(round(w * r))))
+
+
+def crop(sample: Sample, top: int, left: int, height: int, width: int) -> Sample:
+    img = sample["image"][top : top + height, left : left + width]
+    boxes = sample["boxes"].copy()
+    boxes[:, [0, 2]] -= left
+    boxes[:, [1, 3]] -= top
+    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, width)
+    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, height)
+    return {**sample, "image": np.ascontiguousarray(img), "boxes": boxes}
+
+
+def sanitize(sample: Sample, min_size: float = 1.0) -> Sample:
+    """Drop degenerate boxes (SanitizeBoundingBox, presets.py:73)."""
+    b = sample["boxes"]
+    keep = (b[:, 2] - b[:, 0] >= min_size) & (b[:, 3] - b[:, 1] >= min_size)
+    out = {**sample, "boxes": b[keep], "labels": sample["labels"][keep]}
+    if "iscrowd" in sample:
+        out["iscrowd"] = sample["iscrowd"][keep]
+    if "area" in sample:
+        out["area"] = sample["area"][keep]
+    return out
+
+
+class RandomHorizontalFlip:
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        return hflip(sample) if rng.random() < self.p else sample
+
+
+class RandomShortestSize:
+    def __init__(self, min_size, max_size: Optional[int] = None):
+        self.min_sizes = [min_size] if isinstance(min_size, int) else list(min_size)
+        self.max_size = max_size
+
+    def __call__(self, sample, rng: random.Random):
+        return shortest_size(sample, rng.choice(self.min_sizes), self.max_size)
+
+
+class RandomSizeCrop:
+    """/root/reference/transforms/crop.py:13-31."""
+
+    def __init__(self, min_size: int, max_size: int):
+        self.min_size = min_size
+        self.max_size = max_size
+
+    def __call__(self, sample, rng: random.Random):
+        h, w = sample["image"].shape[:2]
+        ch = rng.randint(self.min_size, max(min(h, self.max_size), self.min_size))
+        cw = rng.randint(self.min_size, max(min(w, self.max_size), self.min_size))
+        ch, cw = min(ch, h), min(cw, w)
+        top = rng.randint(0, h - ch)
+        left = rng.randint(0, w - cw)
+        return crop(sample, top, left, ch, cw)
+
+
+class RandomCropPad:
+    """RandomCrop(pad_if_needed=True) used by the lsj preset."""
+
+    def __init__(self, size_hw, fill=(123.0, 117.0, 104.0)):
+        self.size = size_hw
+        self.fill = np.asarray(fill, np.uint8)
+
+    def __call__(self, sample, rng: random.Random):
+        th, tw = self.size
+        h, w = sample["image"].shape[:2]
+        if h < th or w < tw:
+            pad_img = np.empty((max(h, th), max(w, tw), 3), np.uint8)
+            pad_img[:] = self.fill
+            pad_img[:h, :w] = sample["image"]
+            sample = {**sample, "image": pad_img}
+            h, w = pad_img.shape[:2]
+        top = rng.randint(0, h - th)
+        left = rng.randint(0, w - tw)
+        return crop(sample, top, left, th, tw)
+
+
+class ScaleJitter:
+    """torchvision ScaleJitter: scale in [0.1, 2.0] of target/current."""
+
+    def __init__(self, target_size, scale_range=(0.1, 2.0)):
+        self.target = target_size
+        self.range = scale_range
+
+    def __call__(self, sample, rng: random.Random):
+        h, w = sample["image"].shape[:2]
+        scale = self.range[0] + rng.random() * (self.range[1] - self.range[0])
+        r = min(self.target[0] / h, self.target[1] / w) * scale
+        return resize(sample, (max(int(h * r), 1), max(int(w * r), 1)))
+
+
+class Compose:
+    def __init__(self, transforms: Sequence[Callable]):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample, rng: random.Random):
+        for t in self.transforms:
+            sample = t(sample, rng)
+        return sample
+
+
+class RandomChoice:
+    def __init__(self, transforms: Sequence[Callable]):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample, rng: random.Random):
+        return rng.choice(self.transforms)(sample, rng)
+
+
+class Sanitize:
+    def __init__(self, min_size: float = 1.0):
+        self.min_size = min_size
+
+    def __call__(self, sample, rng: random.Random):
+        return sanitize(sample, self.min_size)
+
+
+def _identity(sample, rng):
+    return sample
+
+
+# ------------------------------------------------------------------ presets
+
+basic = Compose([])
+hflip_preset = Compose([RandomHorizontalFlip(0.5)])
+multiscale = Compose([
+    RandomShortestSize(SCALES, 1333),
+    RandomHorizontalFlip(0.5),
+])
+detr = Compose([
+    RandomHorizontalFlip(0.5),
+    RandomChoice([
+        RandomShortestSize(SCALES, 1333),
+        Compose([
+            RandomShortestSize([400, 500, 600]),
+            RandomSizeCrop(384, 600),
+            RandomShortestSize(SCALES, 1333),
+        ]),
+    ]),
+    Sanitize(),
+])
+lsj = Compose([
+    ScaleJitter((1024, 1024)),
+    RandomCropPad((1024, 1024)),
+    RandomHorizontalFlip(0.5),
+    Sanitize(),
+])
+
+PRESETS = {
+    "basic": basic,
+    "hflip": hflip_preset,
+    "multiscale": multiscale,
+    "detr": detr,
+    "lsj": lsj,
+}

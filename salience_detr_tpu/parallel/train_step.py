@@ -1,0 +1,153 @@
+"""GSPMD train/eval steps.
+
+One jitted program covers forward, CDN generation, on-device Hungarian
+matching, all losses, backward, clip, and the optimizer update — the
+reference's per-iteration host syncs (scipy matching at set_criterion.py:126,
+loss .item() at util/engine.py:70) do not exist here; metrics leave the
+device only at the logging interval.
+
+Data parallelism: batch arrays sharded on the ``dp`` mesh axis, state
+replicated; XLA inserts the gradient all-reduce (SURVEY.md §2.12's
+TPU-native equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from salience_detr_tpu.models.bricks.criterion import Targets
+from salience_detr_tpu.models.detectors.salience_detr import compute_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    frozen: Any  # FrozenBatchNorm statistics
+    batch_stats: Any  # RepVGG BatchNorm running stats
+    opt_state: Any
+
+
+def create_train_state(model, tx, images, image_sizes, targets, seed: int = 0) -> TrainState:
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "denoising": jax.random.PRNGKey(seed + 1)},
+        images, image_sizes, targets, train=True,
+    )
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        frozen=variables.get("frozen", {}),
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    model,
+    criterion,
+    salience_criterion,
+    tx: optax.GradientTransformation,
+    weight_dict: Dict[str, float],
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step; if ``mesh`` is given, shard the batch on
+    its 'dp' axis and replicate the state."""
+
+    dn_groups = max(model.denoising_nums // model.dn_max_gt, 1)
+    from salience_detr_tpu.models.bricks.denoising import GenerateCDNQueries
+
+    dn_query_idx, dn_gt_idx = GenerateCDNQueries(
+        num_classes=model.num_classes,
+        denoising_nums=model.denoising_nums,
+        dn_max_gt=model.dn_max_gt,
+    ).dn_match_indices()
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        targets = Targets(batch["labels"], batch["boxes"], batch["gt_valid"])
+        # reference num_boxes normalization (set_criterion.py:141-147):
+        # global count clamped to >= 1 (see criterion.py docstring for the
+        # world_size rounding difference)
+        num_boxes = jnp.maximum(jnp.sum(targets.valid).astype(jnp.float32), 1.0)
+
+        def loss_fn(params):
+            variables = {"params": params, "frozen": state.frozen}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            outputs, mutated = model.apply(
+                variables,
+                batch["images"],
+                batch["image_sizes"],
+                targets,
+                train=True,
+                rngs={"denoising": rng},
+                mutable=["batch_stats"],
+            )
+            losses = compute_loss(
+                outputs, targets, batch["image_sizes"], criterion,
+                salience_criterion, dn_query_idx, dn_gt_idx, dn_groups,
+                num_boxes, weight_dict,
+            )
+            total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
+            return total, (losses, mutated.get("batch_stats", state.batch_stats))
+
+        (total, (losses, new_batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = grad_norm
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("dp"))
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, postprocess, mesh: Optional[Mesh] = None) -> Callable:
+    """Jitted eval forward + postprocess -> per-image top-k detections."""
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params, "frozen": state.frozen}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        outputs = model.apply(
+            variables, batch["images"], batch["image_sizes"], train=False
+        )
+        return postprocess(
+            outputs["pred_class"][-1],
+            outputs["pred_coord"][-1],
+            batch["orig_sizes"],
+        )
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("dp"))
+        return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=data)
+    return jax.jit(step_fn)

@@ -1,0 +1,143 @@
+"""End-to-end smoke tests for the full SalienceDETR model on a tiny canvas:
+init, eval forward, train forward + full loss, and gradient flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salience_detr_tpu.models.bricks.criterion import Targets
+from salience_detr_tpu.models.detectors.salience_detr import compute_loss
+from salience_detr_tpu.models.factory import SalienceDETRConfig, build_salience_detr
+
+CANVAS = (128, 128)
+B = 2
+MAX_GT = 7
+
+
+def tiny_config(**kw):
+    defaults = dict(
+        backbone="resnet18",
+        embed_dim=32,
+        num_classes=11,
+        num_queries=40,
+        num_encoder_layers=2,
+        num_decoder_layers=2,
+        num_heads=4,
+        dim_feedforward=64,
+        topk_sa=20,
+        layer_filter_ratio=(1.0, 0.5),
+        denoising_nums=8,
+        dn_max_gt=4,
+        max_num_embedding=32,
+    )
+    defaults.update(kw)
+    return SalienceDETRConfig(**defaults)
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(-1, 1, size=(B, *CANVAS, 3)).astype(np.float32)
+    image_sizes = np.array([[128, 128], [96, 64]], np.int32)
+    cxy = rng.uniform(0.2, 0.7, (B, MAX_GT, 2))
+    wh = rng.uniform(0.05, 0.25, (B, MAX_GT, 2))
+    boxes = np.concatenate([cxy, wh], -1).astype(np.float32)
+    labels = rng.integers(0, 11, (B, MAX_GT)).astype(np.int32)
+    valid = np.zeros((B, MAX_GT), bool)
+    valid[0, :5] = True
+    valid[1, :3] = True
+    targets = Targets(jnp.asarray(labels), jnp.asarray(boxes), jnp.asarray(valid))
+    return jnp.asarray(images), jnp.asarray(image_sizes), targets
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = tiny_config()
+    model, criterion, sal_criterion, post = build_salience_detr(cfg)
+    images, image_sizes, targets = make_inputs()
+    # jitted init: eager init dispatches hundreds of tiny CPU executables and
+    # takes minutes; one jitted program hits the persistent compile cache
+    init = jax.jit(lambda rngs: model.init(rngs, images, image_sizes, targets, train=True))
+    variables = init(
+        {"params": jax.random.PRNGKey(0), "denoising": jax.random.PRNGKey(1)}
+    )
+    return cfg, model, criterion, sal_criterion, post, variables
+
+
+class TestModelForward:
+    def test_eval_forward_shapes(self, model_and_vars):
+        cfg, model, _, _, post, variables = model_and_vars
+        images, image_sizes, _ = make_inputs()
+        out = jax.jit(lambda im, sz: model.apply(variables, im, sz, train=False))(
+            images, image_sizes
+        )
+        assert out["pred_class"].shape == (2, B, cfg.num_queries, cfg.num_classes)
+        assert out["pred_coord"].shape == (2, B, cfg.num_queries, 4)
+        assert out["enc_class"].shape == (B, cfg.num_queries, cfg.num_classes)
+        assert np.isfinite(np.asarray(out["pred_class"])).all()
+        assert np.isfinite(np.asarray(out["pred_coord"])).all()
+        coords = np.asarray(out["pred_coord"])
+        assert (coords >= 0).all() and (coords <= 1).all()
+
+        dets = post(out["pred_class"][-1], out["pred_coord"][-1], image_sizes)
+        assert dets["boxes"].shape == (B, cfg.select_box_nums_for_evaluation, 4)
+
+    def test_train_forward_and_loss(self, model_and_vars):
+        cfg, model, criterion, sal_criterion, _, variables = model_and_vars
+        images, image_sizes, targets = make_inputs()
+        out, mutated = jax.jit(
+            lambda im, sz, tg: model.apply(
+                variables, im, sz, tg, train=True,
+                rngs={"denoising": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"],
+            )
+        )(images, image_sizes, targets)
+        ndn = 2 * max(cfg.denoising_nums // cfg.dn_max_gt, 1) * cfg.dn_max_gt
+        assert out["dn_class"].shape[2] == ndn
+        assert out["pred_class"].shape[2] == cfg.num_queries
+
+        dn_q, dn_g = _dn_indices(cfg)
+        num_boxes = jnp.maximum(targets.valid.sum().astype(jnp.float32), 1.0)
+        losses = compute_loss(
+            out, targets, image_sizes, criterion, sal_criterion,
+            dn_q, dn_g, max(cfg.denoising_nums // cfg.dn_max_gt, 1), num_boxes,
+        )
+        assert "loss_class" in losses and "loss_salience" in losses
+        assert "loss_class_dn" in losses and "loss_class_enc" in losses
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+
+    def test_gradients(self, model_and_vars):
+        cfg, model, criterion, sal_criterion, _, variables = model_and_vars
+        images, image_sizes, targets = make_inputs()
+        dn_q, dn_g = _dn_indices(cfg)
+        num_boxes = jnp.maximum(targets.valid.sum().astype(jnp.float32), 1.0)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {**variables, "params": params}, images, image_sizes, targets,
+                train=True, rngs={"denoising": jax.random.PRNGKey(3)},
+                mutable=["batch_stats"],
+            )
+            losses = compute_loss(
+                out, targets, image_sizes, criterion, sal_criterion,
+                dn_q, dn_g, max(cfg.denoising_nums // cfg.dn_max_gt, 1), num_boxes,
+            )
+            return sum(losses.values())
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+        assert np.isfinite(float(loss))
+        flat = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+        total = sum(float(jnp.abs(g).sum()) for g in flat)
+        assert total > 0
+
+
+def _dn_indices(cfg):
+    from salience_detr_tpu.models.bricks.denoising import GenerateCDNQueries
+
+    gen = GenerateCDNQueries(
+        num_classes=cfg.num_classes, denoising_nums=cfg.denoising_nums,
+        dn_max_gt=cfg.dn_max_gt,
+    )
+    return gen.dn_match_indices()
