@@ -205,10 +205,15 @@ class SetCriterion:
         dn_groups: int,
     ) -> Dict[str, jnp.ndarray]:
         """Denoising losses with fixed indices (base_detector.py:188-244)."""
+        M_need = int(np.max(dn_gt_idx)) + 1 if len(dn_gt_idx) else 0
+        labels, boxes, valid = targets
+        if labels.shape[1] < M_need:  # pad gt capacity up to the dn capacity
+            pad = M_need - labels.shape[1]
+            labels = jnp.pad(labels, ((0, 0), (0, pad)))
+            boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)), constant_values=0.5)
+            valid = jnp.pad(valid, ((0, 0), (0, pad)))
         dn_targets = Targets(
-            targets.labels[:, dn_gt_idx],
-            targets.boxes[:, dn_gt_idx],
-            targets.valid[:, dn_gt_idx],
+            labels[:, dn_gt_idx], boxes[:, dn_gt_idx], valid[:, dn_gt_idx]
         )
         B = dn_class.shape[1]
         gt_to_query = jnp.broadcast_to(

@@ -79,10 +79,16 @@ class GenerateCDNQueries(nn.Module):
             (self.num_classes, self.label_embed_dim),
         )
 
-        # truncate/pad gt to the static dn capacity
-        labels = gt_labels[:, :M]
-        boxes = gt_boxes[:, :M].astype(jnp.float32)
-        valid = gt_valid[:, :M]
+        # truncate or pad gt to the static dn capacity
+        def fit(x, fill):
+            if x.shape[1] >= M:
+                return x[:, :M]
+            pad = [(0, 0), (0, M - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+            return jnp.pad(x, pad, constant_values=fill)
+
+        labels = fit(gt_labels, 0)
+        boxes = fit(gt_boxes.astype(jnp.float32), 0.5)
+        valid = fit(gt_valid, False)
 
         # repeat for 2G blocks: (B, 2G, M, ...)
         rep = lambda x: jnp.broadcast_to(x[:, None], (B, 2 * G) + x.shape[1:])

@@ -477,11 +477,12 @@ class SalienceTransformer(nn.Module):
         enc_outputs_coord = jax.nn.sigmoid(coord_logits)
 
         topk = min(self.two_stage_num_proposals * 4, S)
+        num_proposals = min(self.two_stage_num_proposals, topk)
         topk_scores, topk_index = jax.lax.top_k(
             jnp.max(enc_outputs_class, -1), topk
         )  # (B, topk), sorted by score
         nms_index = jax.vmap(
-            lambda ti: grid_nms_topk(ti, spatial_shapes, self.two_stage_num_proposals)
+            lambda ti: grid_nms_topk(ti, spatial_shapes, num_proposals)
         )(topk_index)  # (B, num_proposals)
         enc_class = jnp.take_along_axis(enc_outputs_class, nms_index[..., None], axis=1)
         enc_coord = jnp.take_along_axis(enc_outputs_coord, nms_index[..., None], axis=1)
@@ -489,8 +490,8 @@ class SalienceTransformer(nn.Module):
         # ---------------- decoder inputs (:215-233)
         reference_points = jax.lax.stop_gradient(enc_coord)
         target = jnp.broadcast_to(
-            self.tgt_embed[None].astype(memory.dtype),
-            (B, self.two_stage_num_proposals, C),
+            self.tgt_embed[None, :num_proposals].astype(memory.dtype),
+            (B, num_proposals, C),
         )
         if noised_label_query is not None and noised_box_query is not None:
             target = jnp.concatenate([noised_label_query, target], 1)

@@ -93,11 +93,15 @@ class SalienceDETR(nn.Module):
             noised_label_query, noised_box_query = self.denoising_generator(
                 targets.labels, targets.boxes, targets.valid, rng
             )
+            # matching-query count is clamped by the token budget on tiny
+            # canvases (see SalienceTransformer two-stage selection)
+            total_tokens = sum(s[0] * s[1] for s in shapes)
+            num_matching = min(self.num_queries, 4 * self.num_queries, total_tokens)
             attn_mask = jnp.asarray(
                 cdn_attn_mask(
                     self.denoising_generator.dn_groups,
                     2 * self.dn_max_gt,
-                    self.num_queries,
+                    num_matching,
                 )
             )
 

@@ -125,12 +125,17 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        # norm submodule names deliberately avoid a lowercase "norm" substring:
+        # the reference wraps these in Conv2dNormActivation whose sequential
+        # index names escape the optimizer's "norm" keyword match
+        # (/root/reference/optimizer/param_dict.py:81), and we mirror that
+        # grouping (see engine/optim.py).
         if self.norm == "frozen_bn":
-            x = FrozenBatchNorm(self.features, dtype=self.dtype, name="norm")(x)
+            x = FrozenBatchNorm(self.features, dtype=self.dtype, name="fbn")(x)
         elif self.norm == "gn32":
-            x = GroupNorm32(self.features, dtype=self.dtype, name="norm")(x)
+            x = GroupNorm32(self.features, dtype=self.dtype, name="gn")(x)
         elif self.norm == "bn":
-            x = BatchNorm(self.features, dtype=self.dtype, name="norm")(x, train=train)
+            x = BatchNorm(self.features, dtype=self.dtype, name="bn")(x, train=train)
         elif self.norm is not None:
             raise ValueError(f"unknown norm {self.norm}")
         if self.act is not None:

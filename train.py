@@ -1,0 +1,185 @@
+"""Training CLI (the reference's main.py:24-201 equivalent).
+
+Usage:
+    python train.py --config-file configs/train_config.py [--seed 0] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser("Salience-DETR TPU training")
+    p.add_argument("--config-file", default="configs/train_config.py")
+    p.add_argument(
+        "--mixed-precision", default="bf16", choices=["no", "bf16"],
+        help="bf16 runs the compute path in bfloat16 on the MXU",
+    )
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--use-deterministic-algorithms", action="store_true")
+    p.add_argument("--dry-run-steps", type=int, default=0,
+                   help="stop after N steps (smoke testing)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from salience_detr_tpu.data.coco import CocoDetection
+    from salience_detr_tpu.data.loader import DetectionLoader, DevicePrefetcher
+    from salience_detr_tpu.data.transforms import PRESETS
+    from salience_detr_tpu.engine.optim import build_optimizer, make_lr_schedule
+    from salience_detr_tpu.engine.train import evaluate, train_one_epoch
+    from salience_detr_tpu.models.backbones.resnet import frozen_param_predicate
+    from salience_detr_tpu.models.bricks.criterion import Targets, default_weight_dict
+    from salience_detr_tpu.models.detectors.salience_detr import normalize_images
+    from salience_detr_tpu.models.factory import build_salience_detr
+    from salience_detr_tpu.parallel.mesh import init_distributed, make_mesh, shard_batch
+    from salience_detr_tpu.parallel.train_step import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+    from salience_detr_tpu.utils.checkpoint import CheckpointManager, HighestCheckpoint
+    from salience_detr_tpu.utils.config import Config
+    from salience_detr_tpu.utils.coco_eval import CocoEvaluator
+    from salience_detr_tpu.utils.logging_utils import setup_logger
+    from salience_detr_tpu.utils.tracker import TensorBoardTracker
+
+    init_distributed()
+    cfg = Config(args.config_file)
+    model_cfg = Config(cfg.model_path).model_config
+    if args.mixed_precision == "bf16":
+        model_cfg.dtype = jnp.bfloat16
+
+    seed = args.seed if args.seed is not None else int.from_bytes(os.urandom(2), "big")
+
+    model_name = os.path.splitext(os.path.basename(cfg.model_path))[0]
+    output_dir = cfg.get("output_dir") or os.path.join(
+        "checkpoints", model_name, "train",
+        datetime.datetime.now().strftime("%Y-%m-%d-%H_%M_%S"),
+    )
+    logger = setup_logger(output=output_dir, rank=jax.process_index())
+    logger.info(f"Command: {' '.join(sys.argv)}")
+    logger.info(f"Config:\n{cfg.pretty()}")
+    logger.info(f"Devices: {jax.devices()}  seed={seed}")
+
+    # data
+    train_dataset = CocoDetection(
+        cfg.train_img_folder, cfg.train_ann_file,
+        transforms=PRESETS[cfg.get("train_transform", "detr")], train=True,
+    )
+    test_dataset = CocoDetection(cfg.test_img_folder, cfg.test_ann_file)
+    train_loader = DetectionLoader(
+        train_dataset, cfg.batch_size, canvas_hw=tuple(cfg.get("train_canvas", (800, 1344))),
+        max_gt=cfg.get("max_gt", 100), shuffle=True, seed=seed,
+        num_workers=cfg.get("num_workers", 8),
+    )
+    test_loader = DetectionLoader(
+        test_dataset, cfg.batch_size, canvas_hw=tuple(cfg.get("train_canvas", (800, 1344))),
+        max_gt=cfg.get("max_gt", 100), shuffle=False, drop_last=False,
+        num_workers=cfg.get("num_workers", 8),
+        eval_min_size=model_cfg.min_size, eval_max_size=model_cfg.max_size,
+    )
+    steps_per_epoch = len(train_loader)
+
+    # model + optimizer
+    model, criterion, sal_criterion, postprocess = build_salience_detr(model_cfg)
+    schedule = make_lr_schedule(
+        cfg.learning_rate, steps_per_epoch,
+        milestones=cfg.get("lr_milestones", [10]), gamma=cfg.get("lr_gamma", 0.1),
+        warmup_factor=cfg.get("warmup_factor", 1e-3),
+        warmup_steps=min(cfg.get("warmup_steps", 1000), steps_per_epoch),
+    )
+
+    mesh = make_mesh(args.num_devices)
+    B = cfg.batch_size
+    H, W = cfg.get("train_canvas", (800, 1344))
+    M = cfg.get("max_gt", 100)
+    dummy_images = jnp.zeros((B, H, W, 3), jnp.float32)
+    dummy_sizes = jnp.full((B, 2), jnp.int32(32))
+    dummy_targets = Targets(
+        jnp.zeros((B, M), jnp.int32), jnp.full((B, M, 4), 0.5, jnp.float32),
+        jnp.zeros((B, M), bool),
+    )
+
+    with mesh:
+        params0 = jax.jit(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(seed), "denoising": jax.random.PRNGKey(seed + 1)},
+                dummy_images, dummy_sizes, dummy_targets, train=True,
+            )
+        )()["params"]
+        tx = build_optimizer(
+            params0, schedule, weight_decay=cfg.get("weight_decay", 1e-4),
+            betas=tuple(cfg.get("betas", (0.9, 0.999))),
+            max_norm=cfg.get("max_norm", 0.1),
+            frozen_predicate=frozen_param_predicate(model_cfg.backbone_freeze_indices),
+        )
+        state = create_train_state(
+            model, tx, dummy_images, dummy_sizes, dummy_targets, seed=seed
+        )
+
+        ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
+        best = HighestCheckpoint(ckpt)
+        starting_epoch = cfg.get("starting_epoch", 0)
+        if cfg.get("resume_from_checkpoint"):
+            restored = ckpt.restore(state)
+            if restored is not None:
+                state = restored
+                starting_epoch = int(state.step) // max(steps_per_epoch, 1)
+                logger.info(f"Resumed at epoch {starting_epoch}")
+
+        weight_dict = default_weight_dict(model_cfg.num_decoder_layers)
+        train_step = make_train_step(
+            model, criterion, sal_criterion, tx, weight_dict, mesh=mesh
+        )
+        eval_step = make_eval_step(model, postprocess, mesh=mesh)
+        tracker = TensorBoardTracker(output_dir)
+
+        def device_put(batch):
+            batch = dict(batch)
+            batch["images"] = normalize_images(
+                jnp.asarray(batch["images"], jnp.float32) / 255.0
+            )
+            return shard_batch(batch, mesh)
+
+        rng = jax.random.PRNGKey(seed + 7)
+        global_step = 0
+        for epoch in range(starting_epoch, cfg.num_epochs):
+            train_loader.set_epoch(epoch)
+            loader = DevicePrefetcher(train_loader, device_put)
+            if args.dry_run_steps:
+                import itertools
+
+                loader = itertools.islice(iter(loader), args.dry_run_steps)
+            state, global_step = train_one_epoch(
+                train_step, state, loader, rng, epoch,
+                print_freq=cfg.get("print_freq", 50), logger=logger,
+                tracker=tracker.log, global_step=global_step,
+            )
+            ckpt.save(epoch, jax.device_get(state))
+
+            evaluator = CocoEvaluator(test_dataset.coco)
+            eval_loader = DevicePrefetcher(test_loader, device_put)
+            stats = evaluate(
+                eval_step, state, eval_loader, evaluator, logger=logger,
+                tracker=tracker.log, epoch=epoch,
+            )
+            best.update(jax.device_get(state), stats["AP"], stats["AP50"])
+            if args.dry_run_steps:
+                break
+    logger.info("Training done")
+
+
+if __name__ == "__main__":
+    main()
