@@ -33,5 +33,7 @@ model_config = SalienceDETRConfig(
     max_size=1333,
     select_box_nums_for_evaluation=300,
     dtype=jnp.bfloat16,
-    axis_name="dp",
+    # BatchNorm stats sync automatically under GSPMD (global-batch reductions);
+    # a named-axis psum is only needed under shard_map
+    axis_name=None,
 )

@@ -1,0 +1,194 @@
+"""Swin Transformer backbone family (NHWC flax).
+
+Re-design of /root/reference/models/backbones/swin.py (vendored torchvision
+Swin incl. ShiftedWindowAttention at swin.py:219, arch registry :612-735).
+Multi-scale features are the post-stage (pre-merge) outputs, matching the
+reference's fx extraction of features.{1,3,5,7}; layout stays NHWC end to
+end (the reference permutes back to NCHW at swin.py:605-607).
+
+Shifted-window masks and relative-position indices are precomputed in numpy
+per static padded shape — no dynamic shapes reach XLA."""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ARCH_SETTINGS: Dict[str, Dict] = {
+    "swin_t": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), window=7),
+    "swin_s": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24), window=7),
+    "swin_b": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), window=7),
+    "swin_l": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48), window=7),
+    "swin_b_384": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), window=12),
+    "swin_l_384": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48), window=12),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(window: int) -> np.ndarray:
+    """(ws*ws, ws*ws) indices into the (2w-1)^2 bias table."""
+    coords = np.stack(
+        np.meshgrid(np.arange(window), np.arange(window), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0) + (window - 1)
+    return (rel[..., 0] * (2 * window - 1) + rel[..., 1]).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
+    """(num_windows, N, N) float mask (0 / -inf-ish) for SW-MSA regions."""
+    img = np.zeros((hp, wp))
+    cnt = 0
+    slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    for hs in slices:
+        for ws_ in slices:
+            img[hs, ws_] = cnt
+            cnt += 1
+    img = img.reshape(hp // window, window, wp // window, window)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = img[:, :, None] - img[:, None, :]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window: int
+    num_heads: int
+    shift: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        ws = self.window
+        shift = self.shift
+        # clamp: no shift when the window covers the whole map (torchvision does the same)
+        if H <= ws and W <= ws:
+            shift = 0
+        pad_h = (ws - H % ws) % ws
+        pad_w = (ws - W % ws) % ws
+        xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        Hp, Wp = H + pad_h, W + pad_w
+
+        if shift > 0:
+            xp = jnp.roll(xp, (-shift, -shift), axis=(1, 2))
+
+        nh, nw = Hp // ws, Wp // ws
+        windows = xp.reshape(B, nh, ws, nw, ws, C).transpose(0, 1, 3, 2, 4, 5)
+        windows = windows.reshape(B * nh * nw, ws * ws, C)
+
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(windows)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        head_dim = C // self.num_heads
+        reshape_heads = lambda t: t.reshape(-1, ws * ws, self.num_heads, head_dim)
+        q, k, v = map(reshape_heads, (q, k, v))
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        attn = attn / np.sqrt(head_dim)
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, self.num_heads),
+        )
+        idx = jnp.asarray(relative_position_index(ws))
+        bias = bias_table[idx.reshape(-1)].reshape(ws * ws, ws * ws, self.num_heads)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
+
+        if shift > 0:
+            mask = jnp.asarray(shifted_window_mask(Hp, Wp, ws, shift))  # (nWin, N, N)
+            attn = attn.reshape(B, nh * nw, self.num_heads, ws * ws, ws * ws)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(B * nh * nw, self.num_heads, ws * ws, ws * ws)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(-1, ws * ws, C)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        out = out.reshape(B, nh, nw, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(B, Hp, Wp, C)
+        if shift > 0:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        return out[:, :H, :W]
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        y = WindowAttention(
+            self.dim, self.window, self.num_heads, self.shift, dtype=self.dtype,
+            name="attn",
+        )(y)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    dim: int  # input dim; output is 2*dim
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        xp = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = xp[:, 0::2, 0::2]
+        x1 = xp[:, 1::2, 0::2]
+        x2 = xp[:, 0::2, 1::2]
+        x3 = xp[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], -1)  # (B, H/2, W/2, 4C)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class SwinTransformerBackbone(nn.Module):
+    arch: str = "swin_l"
+    return_indices: Tuple[int, ...] = (1, 2, 3)
+    dtype: Any = jnp.float32
+
+    @property
+    def num_channels(self):
+        e = ARCH_SETTINGS[self.arch]["embed_dim"]
+        return [e * 2**i for i in self.return_indices]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[int, jnp.ndarray]:
+        cfg = ARCH_SETTINGS[self.arch]
+        e, depths, heads, window = (
+            cfg["embed_dim"], cfg["depths"], cfg["num_heads"], cfg["window"],
+        )
+        x = nn.Conv(e, (4, 4), strides=(4, 4), dtype=self.dtype, name="patch_embed")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+
+        outputs = {}
+        dim = e
+        for stage in range(4):
+            if stage > 0:
+                x = PatchMerging(dim, dtype=self.dtype, name=f"merge{stage}")(x)
+                dim *= 2
+            for b in range(depths[stage]):
+                x = SwinBlock(
+                    dim, heads[stage], window,
+                    shift=0 if b % 2 == 0 else window // 2,
+                    dtype=self.dtype, name=f"stage{stage}_block{b}",
+                )(x)
+            if stage in self.return_indices:
+                outputs[stage] = x
+        return outputs

@@ -10,7 +10,10 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
+from salience_detr_tpu.models.backbones.convnext import ConvNeXtBackbone
+from salience_detr_tpu.models.backbones.focalnet import FocalNetBackbone
 from salience_detr_tpu.models.backbones.resnet import ResNetBackbone
+from salience_detr_tpu.models.backbones.swin import SwinTransformerBackbone
 from salience_detr_tpu.models.bricks.criterion import (
     SalienceCriterion,
     SetCriterion,
@@ -64,14 +67,35 @@ class SalienceDETRConfig:
     axis_name: Optional[str] = None  # data-parallel axis for BN stat sync
 
 
+def build_backbone(cfg: SalienceDETRConfig):
+    """Backbone dispatch by arch name (the reference's 5 backbone factories,
+    SURVEY.md §2.6)."""
+    name = cfg.backbone
+    if name.startswith(("resnet", "wide_resnet")):
+        return ResNetBackbone(
+            arch=name,
+            return_indices=cfg.backbone_return_indices,
+            freeze_indices=cfg.backbone_freeze_indices,
+            dtype=cfg.dtype,
+        )
+    if name.startswith("conv"):
+        return ConvNeXtBackbone(
+            arch=name, return_indices=cfg.backbone_return_indices, dtype=cfg.dtype
+        )
+    if name.startswith("swin"):
+        return SwinTransformerBackbone(
+            arch=name, return_indices=cfg.backbone_return_indices, dtype=cfg.dtype
+        )
+    if name.startswith("focalnet"):
+        return FocalNetBackbone(
+            arch=name, return_indices=cfg.backbone_return_indices, dtype=cfg.dtype
+        )
+    raise ValueError(f"unknown backbone {name}")
+
+
 def build_salience_detr(cfg: SalienceDETRConfig):
     """Returns (model: nn.Module, criterion, salience_criterion, postprocess)."""
-    backbone = ResNetBackbone(
-        arch=cfg.backbone,
-        return_indices=cfg.backbone_return_indices,
-        freeze_indices=cfg.backbone_freeze_indices,
-        dtype=cfg.dtype,
-    )
+    backbone = build_backbone(cfg)
     neck = ChannelMapper(
         in_channels=tuple(backbone.num_channels),
         out_channels=cfg.embed_dim,

@@ -36,10 +36,12 @@ class TrainState:
 
 
 def create_train_state(model, tx, images, image_sizes, targets, seed: int = 0) -> TrainState:
-    variables = model.init(
-        {"params": jax.random.PRNGKey(seed), "denoising": jax.random.PRNGKey(seed + 1)},
-        images, image_sizes, targets, train=True,
-    )
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(seed), "denoising": jax.random.PRNGKey(seed + 1)},
+            images, image_sizes, targets, train=True,
+        )
+    )()
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

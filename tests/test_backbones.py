@@ -1,0 +1,82 @@
+"""Backbone zoo: shape contracts via eval_shape (no heavy compute) plus a
+tiny real forward for the lightest variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salience_detr_tpu.models.backbones.convnext import ConvNeXtBackbone
+from salience_detr_tpu.models.backbones.focalnet import FocalNetBackbone
+from salience_detr_tpu.models.backbones.resnet import ResNetBackbone
+from salience_detr_tpu.models.backbones.swin import SwinTransformerBackbone
+
+
+def shapes_of(module, hw=(64, 96)):
+    x = jnp.zeros((1, *hw, 3))
+    out = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), x))
+    var_shapes = out
+    feats = jax.eval_shape(
+        lambda v: module.apply(v, x),
+        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), var_shapes),
+    )
+    return feats
+
+
+class TestBackboneShapes:
+    @pytest.mark.parametrize("arch,chans", [
+        ("resnet50", [512, 1024, 2048]),
+        ("resnet18", [128, 256, 512]),
+    ])
+    def test_resnet(self, arch, chans):
+        bb = ResNetBackbone(arch=arch, return_indices=(1, 2, 3))
+        assert bb.num_channels == chans
+        feats = shapes_of(bb)
+        assert [feats[i].shape for i in (1, 2, 3)] == [
+            (1, 8, 12, chans[0]), (1, 4, 6, chans[1]), (1, 2, 3, chans[2]),
+        ]
+
+    def test_convnext(self):
+        bb = ConvNeXtBackbone(arch="conv_t", return_indices=(1, 2, 3))
+        assert bb.num_channels == [192, 384, 768]
+        feats = shapes_of(bb)
+        assert feats[1].shape == (1, 8, 12, 192)
+        assert feats[3].shape == (1, 2, 3, 768)
+
+    def test_swin(self):
+        bb = SwinTransformerBackbone(arch="swin_t", return_indices=(1, 2, 3))
+        assert bb.num_channels == [192, 384, 768]
+        feats = shapes_of(bb)
+        assert feats[1].shape == (1, 8, 12, 192)
+        assert feats[3].shape == (1, 2, 3, 768)
+
+    def test_focalnet(self):
+        bb = FocalNetBackbone(arch="focalnet_tiny_srf", return_indices=(1, 2, 3))
+        assert bb.num_channels == [192, 384, 768]
+        feats = shapes_of(bb)
+        assert feats[1].shape == (1, 8, 12, 192)
+        assert feats[3].shape == (1, 2, 3, 768)
+
+    def test_focalnet_large_fl4_shapes(self):
+        bb = FocalNetBackbone(arch="focalnet_large_lrf_fl4", return_indices=(1, 2, 3))
+        assert bb.num_channels == [384, 768, 1536]
+        feats = shapes_of(bb)
+        assert feats[3].shape == (1, 2, 3, 1536)
+
+
+class TestBackboneForward:
+    def test_swin_tiny_forward_finite(self):
+        bb = SwinTransformerBackbone(arch="swin_t", return_indices=(1, 2, 3))
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 96, 3)), jnp.float32)
+        v = jax.jit(lambda: bb.init(jax.random.PRNGKey(0), x))()
+        feats = jax.jit(lambda v: bb.apply(v, x))(v)
+        for f in feats.values():
+            assert np.isfinite(np.asarray(f)).all()
+
+    def test_convnext_tiny_forward_finite(self):
+        bb = ConvNeXtBackbone(arch="conv_t", return_indices=(1, 2, 3))
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 96, 3)), jnp.float32)
+        v = jax.jit(lambda: bb.init(jax.random.PRNGKey(0), x))()
+        feats = jax.jit(lambda v: bb.apply(v, x))(v)
+        for f in feats.values():
+            assert np.isfinite(np.asarray(f)).all()

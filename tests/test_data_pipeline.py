@@ -1,0 +1,137 @@
+"""Host data pipeline tests: transforms geometry, COCO parsing, bucketed
+fixed-canvas batching (pure numpy — fast)."""
+
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+
+from salience_detr_tpu.data import transforms as T
+from salience_detr_tpu.data.coco import CocoDetection
+from salience_detr_tpu.data.loader import DetectionLoader, pack_batch
+
+
+def sample(h=100, w=160, n=3, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    xy = rng.uniform(0, [w * 0.6, h * 0.6], (n, 2))
+    wh = rng.uniform(8, [w * 0.3, h * 0.3], (n, 2))
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    labels = rng.integers(0, 5, n).astype(np.int64)
+    return {"image": img, "boxes": boxes, "labels": labels}
+
+
+class TestTransforms:
+    def test_hflip_involution(self):
+        s = sample()
+        out = T.hflip(T.hflip(s))
+        np.testing.assert_array_equal(out["image"], s["image"])
+        np.testing.assert_allclose(out["boxes"], s["boxes"], atol=1e-5)
+
+    def test_shortest_size_geometry(self):
+        s = sample(h=100, w=160)
+        out = T.shortest_size(s, 50, max_size=70)
+        h, w = out["image"].shape[:2]
+        # r = min(50/100, 70/160) = 0.4375
+        assert (h, w) == (44, 70)
+        scale = np.array([70 / 160, 44 / 100, 70 / 160, 44 / 100])
+        np.testing.assert_allclose(out["boxes"], s["boxes"] * scale, rtol=1e-5)
+
+    def test_crop_clamps_boxes(self):
+        s = sample()
+        out = T.crop(s, 10, 20, 50, 60)
+        assert out["image"].shape[:2] == (50, 60)
+        assert (out["boxes"][:, [0, 2]] <= 60).all()
+        assert (out["boxes"][:, [1, 3]] <= 50).all()
+        assert (out["boxes"] >= 0).all()
+
+    def test_sanitize_drops_degenerate(self):
+        s = sample()
+        s["boxes"][0] = [10, 10, 10.2, 50]  # degenerate width
+        out = T.sanitize(s)
+        assert len(out["boxes"]) == len(s["boxes"]) - 1
+        assert len(out["labels"]) == len(out["boxes"])
+
+    def test_detr_preset_runs(self):
+        rng = random.Random(0)
+        for seed in range(5):
+            out = T.detr(sample(seed=seed, h=300, w=400), rng)
+            assert out["image"].ndim == 3
+            assert len(out["boxes"]) == len(out["labels"])
+
+
+class TestPackBatch:
+    def test_padding_and_normalization(self):
+        s1 = sample(h=80, w=120, n=2)
+        s2 = sample(h=60, w=100, n=5, seed=1)
+        batch = pack_batch([s1, s2], canvas_hw=(96, 128), max_gt=4)
+        assert batch["images"].shape == (2, 96, 128, 3)
+        np.testing.assert_array_equal(batch["image_sizes"], [[80, 120], [60, 100]])
+        # padding region is zero
+        assert batch["images"][0, 80:].sum() == 0
+        # boxes normalized cxcywh on the valid area
+        assert batch["gt_valid"][0].sum() == 2
+        assert batch["gt_valid"][1].sum() == 4  # truncated to max_gt
+        b = batch["boxes"][0, 0]
+        x0, y0, x1, y1 = s1["boxes"][0]
+        np.testing.assert_allclose(
+            b, [(x0 + x1) / 2 / 120, (y0 + y1) / 2 / 80, (x1 - x0) / 120, (y1 - y0) / 80],
+            rtol=1e-5,
+        )
+
+
+class TestCocoDataset:
+    @pytest.fixture
+    def dataset_dir(self, tmp_path):
+        import cv2
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        images, annotations = [], []
+        rng = np.random.default_rng(0)
+        for i in range(4):
+            h, w = int(rng.integers(60, 100)), int(rng.integers(80, 140))
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            cv2.imwrite(str(img_dir / f"{i}.jpg"), img)
+            images.append({"id": i, "file_name": f"{i}.jpg", "height": h, "width": w})
+            if i != 2:  # image 2 has no annotations
+                annotations.append({
+                    "id": i * 10, "image_id": i, "category_id": 1,
+                    "bbox": [5, 5, 20, 20], "area": 400, "iscrowd": 0,
+                })
+        ann = {"images": images, "annotations": annotations,
+               "categories": [{"id": 1, "name": "thing"}]}
+        ann_file = tmp_path / "ann.json"
+        ann_file.write_text(json.dumps(ann))
+        return str(img_dir), str(ann_file)
+
+    def test_train_filters_empty(self, dataset_dir):
+        img_dir, ann_file = dataset_dir
+        ds_all = CocoDetection(img_dir, ann_file, train=False)
+        ds_train = CocoDetection(img_dir, ann_file, train=True)
+        assert len(ds_all) == 4
+        assert len(ds_train) == 3
+
+    def test_getitem_contract(self, dataset_dir):
+        img_dir, ann_file = dataset_dir
+        ds = CocoDetection(img_dir, ann_file)
+        s = ds[0]
+        assert s["image"].dtype == np.uint8
+        assert s["boxes"].shape == (1, 4)
+        assert s["labels"].tolist() == [1]
+
+    def test_loader_buckets_and_static_shapes(self, dataset_dir):
+        img_dir, ann_file = dataset_dir
+        ds = CocoDetection(img_dir, ann_file)
+        loader = DetectionLoader(
+            ds, batch_size=2, canvas_hw=(96, 144), max_gt=8, shuffle=False,
+            drop_last=False, num_workers=2,
+        )
+        batches = list(loader)
+        assert len(batches) >= 2
+        for b in batches:
+            assert b["images"].shape[0] == 2
+            assert b["images"].shape[1:] in ((96, 144, 3), (144, 96, 3))
+            assert b["boxes"].shape[1] == 8
