@@ -36,7 +36,10 @@ def main():
     images = jnp.asarray(rng.uniform(-2, 2, size=(batch, H, W, 3)).astype(np.float32))
     image_sizes = jnp.asarray([[H, W]] * batch, np.int32)
 
-    variables = model.init({"params": jax.random.PRNGKey(0)}, images, image_sizes, train=False)
+    # jitted init: eager init dispatches thousands of tiny executables
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, images, image_sizes, train=False)
+    )()
 
     @jax.jit
     def forward(images, image_sizes):
