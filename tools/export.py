@@ -5,6 +5,9 @@ reference's tolerances (rtol 1e-3 / atol 1e-5, pytorch2onnx.py:136-138)."""
 
 from __future__ import annotations
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 
