@@ -4,11 +4,15 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
+Timing methodology: the remote-tunnel platform's block_until_ready does not
+reliably synchronize, so N forward passes are chained INSIDE one compiled
+program via a lax.fori_loop data dependency and the wall clock wraps a real
+device_get of the carried scalar — one RPC, true device time.
+
 Baseline anchor: the reference publishes no throughput numbers
-(SURVEY.md §6); tools/benchmark_model.py measures but does not report.  We
-anchor on an estimated ~15 img/s for the reference R50 on a modern
-datacenter GPU at batch 1-4 (deformable-DETR-class models at 800x1333 run
-10-20 FPS there; Salience-DETR claims ~70% of dense two-stage FLOPs).
+(SURVEY.md §6).  We anchor on an estimated ~15 img/s for the reference R50 on
+a modern datacenter GPU at 800x1333 (deformable-DETR-class models run 10-20
+FPS there; Salience-DETR claims ~70% of dense two-stage FLOPs).
 BASELINE.json's target is >=2x that per chip, so vs_baseline is
 value / (2 * 15.0) — >= 1.0 means the north-star throughput target is met.
 """
@@ -29,31 +33,35 @@ def main():
 
     batch = 4
     H, W = 800, 1344
-    cfg = SalienceDETRConfig(dtype=jnp.bfloat16)
+    iters = 10
+    cfg = SalienceDETRConfig(dtype=jnp.bfloat16, shared_sampling_locations=True)
     model, _, _, _ = build_salience_detr(cfg)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(-2, 2, size=(batch, H, W, 3)).astype(np.float32))
     image_sizes = jnp.asarray([[H, W]] * batch, np.int32)
 
-    # jitted init: eager init dispatches thousands of tiny executables
     variables = jax.jit(
         lambda: model.init({"params": jax.random.PRNGKey(0)}, images, image_sizes, train=False)
     )()
 
     @jax.jit
-    def forward(images, image_sizes):
-        out = model.apply(variables, images, image_sizes, train=False)
-        return out["pred_class"][-1], out["pred_coord"][-1]
+    def bench_n(images, image_sizes, n):
+        def body(i, carry):
+            # the tiny carry perturbation forces sequential execution of all
+            # n forwards (prevents hoisting/CSE) without changing numerics
+            out = model.apply(
+                variables, images + carry * 1e-30, image_sizes, train=False
+            )
+            return carry + out["pred_class"][-1].astype(jnp.float32).sum() * 1e-30
 
-    # warmup / compile
-    jax.block_until_ready(forward(images, image_sizes))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    iters = 20
+    # compile + warmup (device_get forces real completion)
+    jax.device_get(bench_n(images, image_sizes, 1))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(images, image_sizes)
-    jax.block_until_ready(out)
+    jax.device_get(bench_n(images, image_sizes, iters))
     dt = time.perf_counter() - t0
 
     img_s = batch * iters / dt

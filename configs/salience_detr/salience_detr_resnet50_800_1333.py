@@ -32,6 +32,10 @@ model_config = SalienceDETRConfig(
     min_size=800,
     max_size=1333,
     select_box_nums_for_evaluation=300,
+    # TPU-native head-shared deformable sampling: XLA gathers are issue-bound
+    # (~10ns/slice), so fetching one 2x2xC patch per point instead of per-head
+    # 32-float corners cuts the model's dominant cost ~30x (tools/bench_gather.py)
+    shared_sampling_locations=True,
     dtype=jnp.bfloat16,
     # BatchNorm stats sync automatically under GSPMD (global-batch reductions);
     # a named-axis psum is only needed under shard_map

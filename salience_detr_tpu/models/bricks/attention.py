@@ -19,6 +19,7 @@ from salience_detr_tpu.models.layers import Linear, uniform_in
 from salience_detr_tpu.ops.deform_attn import (
     compute_sampling_locations,
     ms_deform_attn_core,
+    ms_deform_attn_core_shared,
 )
 
 
@@ -38,11 +39,36 @@ def _offset_bias_init(num_heads: int, num_levels: int, num_points: int):
     return init
 
 
+def _shared_offset_bias_init(num_levels: int, num_points: int):
+    """Directional init for head-shared offsets: the P points fan out over P
+    directions (one ring of the reference's per-head star pattern)."""
+    thetas = np.arange(num_points, dtype=np.float64) * (2.0 * math.pi / num_points)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (P, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[None, :, :], (num_levels, 1, 1))  # (L, P, 2)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.asarray(grid.reshape(-1), dtype)
+
+    return init
+
+
 class MultiScaleDeformableAttention(nn.Module):
+    """Deformable attention with two sampling modes:
+
+    * ``shared_locations=False`` — the reference's per-head sampling
+      (ms_deform_attn.py:215-377), exact for checkpoint parity;
+    * ``shared_locations=True`` — TPU-native head-shared sampling locations
+      (per-head attention weights retained).  One gather fetches a 2x2xC
+      patch for all heads, cutting gather issues 32x — see
+      ops/deform_attn.ms_deform_attn_core_shared.
+    """
+
     embed_dim: int = 256
     num_levels: int = 4
     num_heads: int = 8
     num_points: int = 4
+    shared_locations: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -58,6 +84,7 @@ class MultiScaleDeformableAttention(nn.Module):
         _, S, _ = value.shape
         H, L, P = self.num_heads, self.num_levels, self.num_points
         head_dim = self.embed_dim // H
+        offset_heads = 1 if self.shared_locations else H
 
         value = nn.Dense(
             self.embed_dim,
@@ -68,15 +95,18 @@ class MultiScaleDeformableAttention(nn.Module):
         )(value)
         if key_padding_mask is not None:
             value = jnp.where(key_padding_mask[..., None], 0.0, value)
-        value = value.reshape(B, S, H, head_dim)
 
         offsets = nn.Dense(
-            H * L * P * 2,
+            offset_heads * L * P * 2,
             kernel_init=nn.initializers.zeros,
-            bias_init=_offset_bias_init(H, L, P),
+            bias_init=(
+                _shared_offset_bias_init(L, P)
+                if self.shared_locations
+                else _offset_bias_init(H, L, P)
+            ),
             dtype=self.dtype,
             name="sampling_offsets",
-        )(query).reshape(B, Q, H, L, P, 2)
+        )(query).reshape(B, Q, offset_heads, L, P, 2)
         weights = nn.Dense(
             H * L * P,
             kernel_init=nn.initializers.zeros,
@@ -90,8 +120,16 @@ class MultiScaleDeformableAttention(nn.Module):
         locations = compute_sampling_locations(
             reference_points.astype(jnp.float32), offsets.astype(jnp.float32),
             spatial_shapes, P,
-        )
-        out = ms_deform_attn_core(value, spatial_shapes, locations, weights)
+        )  # (B, Q, offset_heads, L, P, 2)
+
+        if self.shared_locations:
+            out = ms_deform_attn_core_shared(
+                value, spatial_shapes, locations[:, :, 0], weights, H
+            )
+        else:
+            out = ms_deform_attn_core(
+                value.reshape(B, S, H, head_dim), spatial_shapes, locations, weights
+            )
         out = nn.Dense(
             self.embed_dim,
             kernel_init=nn.initializers.xavier_uniform(),

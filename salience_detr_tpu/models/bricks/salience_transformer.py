@@ -103,6 +103,7 @@ class SalienceEncoderLayer(nn.Module):
     n_levels: int = 4
     n_points: int = 4
     topk_sa: int = 300
+    shared_locations: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -135,7 +136,8 @@ class SalienceEncoderLayer(nn.Module):
         query = query.at[batch_ix, sel].set(select_tgt)
 
         src2 = MultiScaleDeformableAttention(
-            C, self.n_levels, self.n_heads, self.n_points, dtype=self.dtype, name="self_attn",
+            C, self.n_levels, self.n_heads, self.n_points,
+            shared_locations=self.shared_locations, dtype=self.dtype, name="self_attn",
         )(query + query_pos, reference_points, value, spatial_shapes, key_padding_mask)
         query = query + src2
         query = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(query)
@@ -162,6 +164,7 @@ class SalienceDecoderLayer(nn.Module):
     n_heads: int = 8
     n_levels: int = 4
     n_points: int = 4
+    shared_locations: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -184,7 +187,8 @@ class SalienceDecoderLayer(nn.Module):
         query = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(query)
 
         q2 = MultiScaleDeformableAttention(
-            C, self.n_levels, self.n_heads, self.n_points, dtype=self.dtype, name="cross_attn",
+            C, self.n_levels, self.n_heads, self.n_points,
+            shared_locations=self.shared_locations, dtype=self.dtype, name="cross_attn",
         )(query + query_pos, reference_points, value, spatial_shapes, key_padding_mask)
         query = query + q2
         query = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(query)
@@ -219,6 +223,9 @@ class SalienceTransformer(nn.Module):
     layer_filter_ratio: Tuple[float, ...] = (1.0, 0.8, 0.6, 0.6, 0.4, 0.2)
     max_num_embedding: int = 200  # background embedding table size
     neck: Optional[nn.Module] = None  # RepVGGPluXNetwork factory applied in-line
+    # TPU-native head-shared sampling locations (see bricks/attention.py);
+    # set False for exact reference-checkpoint numerics
+    shared_locations: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -247,7 +254,9 @@ class SalienceTransformer(nn.Module):
         self.encoder_layers = [
             SalienceEncoderLayer(
                 self.embed_dim, self.d_ffn, self.num_heads, self.num_feature_levels,
-                self.num_points, self.topk_sa, dtype=self.dtype, name=f"encoder_layer_{i}",
+                self.num_points, self.topk_sa,
+                shared_locations=self.shared_locations,
+                dtype=self.dtype, name=f"encoder_layer_{i}",
             )
             for i in range(self.num_encoder_layers)
         ]
@@ -264,7 +273,8 @@ class SalienceTransformer(nn.Module):
         self.decoder_layers = [
             SalienceDecoderLayer(
                 self.embed_dim, self.d_ffn, self.num_heads, self.num_feature_levels,
-                self.num_points, dtype=self.dtype, name=f"decoder_layer_{i}",
+                self.num_points, shared_locations=self.shared_locations,
+                dtype=self.dtype, name=f"decoder_layer_{i}",
             )
             for i in range(self.num_decoder_layers)
         ]

@@ -41,6 +41,9 @@ class SalienceDETRConfig:
     level_filter_ratio: Tuple[float, ...] = (0.4, 0.8, 1.0, 1.0)
     layer_filter_ratio: Tuple[float, ...] = (1.0, 0.8, 0.6, 0.6, 0.4, 0.2)
     max_num_embedding: int = 200
+    # TPU-native head-shared deformable sampling (fast path); False restores
+    # the reference's exact per-head sampling for checkpoint parity
+    shared_sampling_locations: bool = False
     # backbone
     backbone: str = "resnet50"
     backbone_return_indices: Tuple[int, ...] = (1, 2, 3)
@@ -124,6 +127,7 @@ def build_salience_detr(cfg: SalienceDETRConfig):
         layer_filter_ratio=cfg.layer_filter_ratio,
         max_num_embedding=cfg.max_num_embedding,
         neck=repnet,
+        shared_locations=cfg.shared_sampling_locations,
         dtype=cfg.dtype,
     )
     strides = tuple(8 * 2**i for i in range(cfg.num_feature_levels))

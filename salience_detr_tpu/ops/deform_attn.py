@@ -132,6 +132,93 @@ def compute_sampling_locations(
     )
 
 
+def ms_deform_attn_core_shared(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    num_heads: int,
+) -> jnp.ndarray:
+    """TPU-native deformable attention with HEAD-SHARED sampling locations.
+
+    XLA's TPU gather lowering is issue-bound (~10ns per gathered slice
+    regardless of slice width — measured in tools/bench_gather.py), so the
+    per-head 32-float corner gathers of the reference formulation
+    (B*Q*H*L*P*4 issues) are the model's dominant cost.  Sharing sampling
+    locations across heads (attention weights stay per-head, in the spirit of
+    DCNv4's grouped sampling) lets one gather fetch a full 2x2xC bilinear
+    patch: B*Q*L*P issues — 32x fewer — at the same issue rate.
+
+    value: (B, S, C) channel-packed (NOT head-split), padding already zeroed.
+    sampling_locations: (B, Q, L, P, 2) normalized, shared across heads.
+    attention_weights: (B, Q, H, L, P) softmaxed over L*P.
+    returns: (B, Q, C).
+    """
+    B, S, C = value.shape
+    _, Q, L, P, _ = sampling_locations.shape
+    H = num_heads
+    D = C // H
+    compute_dtype = value.dtype
+
+    out = jnp.zeros((B, Q, H, D), jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        vmap_lvl = value[:, start : start + h * w].reshape(B, h, w, C)
+        # zero ring so clipped starts read zeros, matching grid_sample's
+        # zero padding without per-corner masking of the gathered data
+        vpad = jnp.pad(vmap_lvl, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+        loc = sampling_locations[:, :, lvl].astype(jnp.float32)  # (B, Q, P, 2)
+        attn = attention_weights[:, :, :, lvl].astype(jnp.float32)  # (B, Q, H, P)
+
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        # corner validity masks (original coordinates)
+        wx = jnp.stack(
+            [(1 - fx) * ((x0i >= 0) & (x0i <= w - 1)),
+             fx * ((x0i + 1 >= 0) & (x0i + 1 <= w - 1))], -1,
+        )  # (B, Q, P, 2)
+        wy = jnp.stack(
+            [(1 - fy) * ((y0i >= 0) & (y0i <= h - 1)),
+             fy * ((y0i + 1 >= 0) & (y0i + 1 <= h - 1))], -1,
+        )
+
+        # clipped starts into the padded map
+        xs = jnp.clip(x0i, -1, w - 1) + 1
+        ys = jnp.clip(y0i, -1, h - 1) + 1
+        starts = jnp.stack([ys, xs], -1).reshape(B, Q * P, 2)
+
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        )
+        patches = jax.vmap(
+            lambda v, s: jax.lax.gather(
+                v, s, dnums, (2, 2, C),
+                indices_are_sorted=False, unique_indices=False,
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )
+        )(vpad, starts)  # (B, Q*P, 2, 2, C)
+        patches = patches.reshape(B, Q, P, 2, 2, H, D).astype(jnp.float32)
+
+        # bilinear + attention reduction:
+        # out[b,q,h,d] += sum_p attn * sum_{iy,ix} wy*wx * patch
+        corner_w = wy[..., :, None] * wx[..., None, :]  # (B, Q, P, 2, 2)
+        sampled = jnp.einsum("bqpyx,bqpyxhd->bqphd", corner_w, patches)
+        out = out + jnp.einsum("bqhp,bqphd->bqhd", attn, sampled)
+        start += h * w
+
+    return out.reshape(B, Q, C).astype(compute_dtype)
+
+
 def deform_attn_numpy_spec(value, spatial_shapes, sampling_locations, attention_weights):
     """Slow numpy executable spec for differential testing (mirrors grid_sample
     semantics directly; independent of the JAX implementation above)."""

@@ -15,6 +15,7 @@ from salience_detr_tpu.ops.deform_attn import (
     compute_sampling_locations,
     deform_attn_numpy_spec,
     ms_deform_attn_core,
+    ms_deform_attn_core_shared,
 )
 
 SHAPES = [(8, 12), (4, 6), (2, 3)]
@@ -85,6 +86,46 @@ class TestDeformAttnCore:
         grads = jax.grad(f, argnums=(0, 1, 2))(
             jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w)
         )
+        for g in grads:
+            assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(grads[0]).sum()) > 0
+
+    def test_shared_core_matches_exact_with_equal_heads(self):
+        # when all heads share locations, the TPU-native patch-gather core must
+        # equal the exact per-head core
+        B, Q, H, D, P = 2, 9, 2, 4, 3
+        rng = np.random.default_rng(7)
+        value = rng.normal(size=(B, S, H, D)).astype(np.float32)
+        locs_shared = rng.uniform(-0.2, 1.2, size=(B, Q, len(SHAPES), P, 2)).astype(np.float32)
+        w = rng.uniform(size=(B, Q, H, len(SHAPES), P)).astype(np.float32)
+        w = w / w.sum(axis=(-2, -1), keepdims=True)
+
+        locs_full = np.broadcast_to(
+            locs_shared[:, :, None], (B, Q, H, len(SHAPES), P, 2)
+        )
+        want = np.asarray(
+            ms_deform_attn_core(jnp.asarray(value), SHAPES, jnp.asarray(locs_full), jnp.asarray(w))
+        )
+        got = np.asarray(
+            ms_deform_attn_core_shared(
+                jnp.asarray(value.reshape(B, S, H * D)), SHAPES,
+                jnp.asarray(locs_shared), jnp.asarray(w), H,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_shared_core_gradients(self):
+        B, Q, H, D, P = 1, 5, 2, 4, 2
+        rng = np.random.default_rng(8)
+        value = jnp.asarray(rng.normal(size=(B, S, H * D)).astype(np.float32))
+        locs = jnp.asarray(rng.uniform(0, 1, (B, Q, len(SHAPES), P, 2)).astype(np.float32))
+        w = rng.uniform(size=(B, Q, H, len(SHAPES), P)).astype(np.float32)
+        w = jnp.asarray(w / w.sum(axis=(-2, -1), keepdims=True))
+
+        def f(v, l, a):
+            return jnp.sum(ms_deform_attn_core_shared(v, SHAPES, l, a, H) ** 2)
+
+        grads = jax.grad(f, argnums=(0, 1, 2))(value, locs, w)
         for g in grads:
             assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(grads[0]).sum()) > 0

@@ -1,25 +1,16 @@
 """Component-level microbenchmarks on the real chip: pinpoints the hot spot
-among backbone, deformable-attention sampling, grid NMS, salience scoring."""
+among backbone, deformable-attention sampling, grid NMS, salience scoring.
+Uses utils/timing.device_time (in-program loop) — wall-clock around
+dispatches is meaningless on the tunnel platform."""
 
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timeit(fn, *args, iters=10, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+from salience_detr_tpu.utils.timing import device_time
 
 
 def main():
@@ -38,7 +29,7 @@ def main():
     bb = ResNetBackbone(arch="resnet50", dtype=jnp.bfloat16)
     x = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
     vb = jax.jit(lambda: bb.init(jax.random.PRNGKey(0), x))()
-    t = timeit(jax.jit(lambda v, x: bb.apply(v, x)), vb, x)
+    t = device_time(lambda x: bb.apply(vb, x), (x,))
     print(f"backbone R50:          {t * 1e3:8.2f} ms")
 
     # --- deformable attention core at encoder scale (layer 0: Q~11.4k)
@@ -49,18 +40,22 @@ def main():
         locs = jnp.asarray(rng.uniform(0, 1, (B, Q, HEADS, L, P, 2)).astype(np.float32))
         w = jnp.asarray(rng.uniform(size=(B, Q, HEADS, L, P)).astype(np.float32))
         w = w / w.sum(axis=(-2, -1), keepdims=True)
-        f = jax.jit(lambda v, l, w: ms_deform_attn_core(v, SHAPES, l, w))
-        t = timeit(f, value, locs, w)
+        t = device_time(
+            lambda v, l, w: ms_deform_attn_core(v, SHAPES, l, w), (value, locs, w)
+        )
         print(f"msda core Q={Q:6d}:    {t * 1e3:8.2f} ms  (x12 layers -> {12 * t * 1e3:.1f} ms)")
 
     # --- grid NMS
     from salience_detr_tpu.ops.nms import grid_nms_topk
 
     scores = jnp.asarray(rng.normal(size=(B, S)).astype(np.float32))
+
     def nms_fn(scores):
         _, topk_index = jax.lax.top_k(scores, 3600)
-        return jax.vmap(lambda ti: grid_nms_topk(ti, SHAPES, 900))(topk_index)
-    t = timeit(jax.jit(nms_fn), scores)
+        idx = jax.vmap(lambda ti: grid_nms_topk(ti, SHAPES, 900))(topk_index)
+        return idx.astype(jnp.float32)
+
+    t = device_time(nms_fn, (scores,))
     print(f"topk+grid NMS:         {t * 1e3:8.2f} ms")
 
     # --- MaskPredictor over level-0 tokens
@@ -69,14 +64,14 @@ def main():
     mp = MaskPredictor(C, dtype=jnp.bfloat16)
     tok = jnp.asarray(rng.normal(size=(B, 16800, C)).astype(np.float32), jnp.bfloat16)
     vm = jax.jit(lambda: mp.init(jax.random.PRNGKey(0), tok))()
-    t = timeit(jax.jit(lambda v, t_: mp.apply(v, t_)), vm, tok)
+    t = device_time(lambda t_: mp.apply(vm, t_), (tok,))
     print(f"MaskPredictor 16.8k:   {t * 1e3:8.2f} ms")
 
-    # --- dense FFN cost proxy: S x C x 2048 matmul pair
+    # --- dense FFN cost proxy
     w1 = jnp.asarray(rng.normal(size=(C, 2048)).astype(np.float32), jnp.bfloat16)
     w2 = jnp.asarray(rng.normal(size=(2048, C)).astype(np.float32), jnp.bfloat16)
     tk = jnp.asarray(rng.normal(size=(B, 11403, C)).astype(np.float32), jnp.bfloat16)
-    t = timeit(jax.jit(lambda a: (a @ w1) @ w2), tk)
+    t = device_time(lambda a: (a @ w1) @ w2, (tk,))
     print(f"FFN 11.4k tokens:      {t * 1e3:8.2f} ms")
 
     # --- Hungarian at loss scale
@@ -84,7 +79,9 @@ def main():
 
     cost = jnp.asarray(rng.normal(size=(7 * B, 900, 25)).astype(np.float32))
     valid = jnp.ones((7 * B, 25), bool)
-    t = timeit(jax.jit(batched_assignment), cost, valid)
+    t = device_time(
+        lambda c, v: batched_assignment(c, v).astype(jnp.float32), (cost, valid)
+    )
     print(f"Hungarian 28x(900x25): {t * 1e3:8.2f} ms")
 
 
