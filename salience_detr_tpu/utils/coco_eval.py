@@ -58,12 +58,20 @@ class CocoEvaluator:
     """Incremental evaluator: update() with per-image predictions, then
     accumulate()/summarize()."""
 
-    def __init__(self, coco_index, iou_types: Sequence[str] = ("bbox",)):
+    def __init__(self, coco_index, iou_types: Sequence[str] = ("bbox",), use_native: bool = True):
         assert list(iou_types) == ["bbox"], "only bbox supported"
         self.coco = coco_index
         self.cat_ids = list(coco_index.cat_ids)
         self.predictions: Dict[int, dict] = {}
         self.img_ids: List[int] = []
+        self._native = None
+        if use_native:
+            try:
+                from salience_detr_tpu.native import cocoeval_lib
+
+                self._native = cocoeval_lib()
+            except Exception:
+                self._native = None
 
     def update(self, predictions: Dict[int, dict]):
         """predictions: {image_id: {"boxes" (N,4 xyxy), "scores", "labels"}}."""
@@ -122,11 +130,35 @@ class CocoEvaluator:
         dt_boxes = dt_boxes[d_order]
         dt_scores = dt_scores[d_order]
 
-        ious = box_iou_xywh(dt_boxes, gt_boxes, gt_crowd_s)
-
         T = len(IOU_THRS)
         D = len(dt_boxes)
         G = len(gt_boxes)
+
+        if self._native is not None and D > 0:
+            import ctypes as ct
+
+            dt_c = np.ascontiguousarray(dt_boxes, np.float64)
+            gt_c = np.ascontiguousarray(gt_boxes, np.float64)
+            crowd_c = np.ascontiguousarray(gt_crowd_s != 0, np.uint8)
+            ign_c = np.ascontiguousarray(gt_ignore, np.uint8)
+            thrs_c = np.ascontiguousarray(IOU_THRS, np.float64)
+            matched = np.zeros((T, D), np.uint8)
+            ignored = np.zeros((T, D), np.uint8)
+            p64 = lambda a: a.ctypes.data_as(ct.POINTER(ct.c_double))
+            p8 = lambda a: a.ctypes.data_as(ct.POINTER(ct.c_uint8))
+            self._native.evaluate_img(
+                p64(dt_c), D, p64(gt_c), G, p8(crowd_c), p8(ign_c),
+                p64(thrs_c), T, float(area_rng[0]), float(area_rng[1]),
+                p8(matched), p8(ignored),
+            )
+            return {
+                "dt_scores": dt_scores,
+                "dt_matched": matched.astype(bool),
+                "dt_ignore": ignored.astype(bool),
+                "num_gt": int((~gt_ignore).sum()),
+            }
+
+        ious = box_iou_xywh(dt_boxes, gt_boxes, gt_crowd_s)
         dt_match = np.zeros((T, D), np.int64) - 1
         gt_match = np.zeros((T, G), np.int64) - 1
         for t, thr in enumerate(IOU_THRS):
