@@ -93,6 +93,13 @@ def build_backbone(cfg: SalienceDETRConfig):
         return FocalNetBackbone(
             arch=name, return_indices=cfg.backbone_return_indices, dtype=cfg.dtype
         )
+    if name.startswith("vit"):
+        from salience_detr_tpu.models.backbones.vit import VisionTransformerBackbone
+
+        return VisionTransformerBackbone(
+            arch=name, return_indices=cfg.backbone_return_indices,
+            out_channels=cfg.embed_dim, dtype=cfg.dtype,
+        )
     raise ValueError(f"unknown backbone {name}")
 
 

@@ -153,6 +153,13 @@ def ms_deform_attn_core_shared(
     sampling_locations: (B, Q, L, P, 2) normalized, shared across heads.
     attention_weights: (B, Q, H, L, P) softmaxed over L*P.
     returns: (B, Q, C).
+
+    Implementation: ONE flat row gather for all L*P*4 corner items per query
+    (2.9M issues at ~7ns each for the encoder's first layer — measured in
+    tools/bench_gather.py) followed by a single fused weighted reduction with
+    the bilinear corner weights and per-head attention weights folded into
+    one (B, Q, items, H) weight tensor, so the 1.5GB of gathered rows is read
+    exactly once.
     """
     B, S, C = value.shape
     _, Q, L, P, _ = sampling_locations.shape
@@ -160,17 +167,10 @@ def ms_deform_attn_core_shared(
     D = C // H
     compute_dtype = value.dtype
 
-    out = jnp.zeros((B, Q, H, D), jnp.float32)
+    idx_parts, w_parts = [], []
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
-        vmap_lvl = value[:, start : start + h * w].reshape(B, h, w, C)
-        # zero ring so clipped starts read zeros, matching grid_sample's
-        # zero padding without per-corner masking of the gathered data
-        vpad = jnp.pad(vmap_lvl, ((0, 0), (1, 1), (1, 1), (0, 0)))
-
         loc = sampling_locations[:, :, lvl].astype(jnp.float32)  # (B, Q, P, 2)
-        attn = attention_weights[:, :, :, lvl].astype(jnp.float32)  # (B, Q, H, P)
-
         x = loc[..., 0] * w - 0.5
         y = loc[..., 1] * h - 0.5
         x0 = jnp.floor(x)
@@ -179,43 +179,32 @@ def ms_deform_attn_core_shared(
         fy = y - y0
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
-
-        # corner validity masks (original coordinates)
-        wx = jnp.stack(
-            [(1 - fx) * ((x0i >= 0) & (x0i <= w - 1)),
-             fx * ((x0i + 1 >= 0) & (x0i + 1 <= w - 1))], -1,
-        )  # (B, Q, P, 2)
-        wy = jnp.stack(
-            [(1 - fy) * ((y0i >= 0) & (y0i <= h - 1)),
-             fy * ((y0i + 1 >= 0) & (y0i + 1 <= h - 1))], -1,
-        )
-
-        # clipped starts into the padded map
-        xs = jnp.clip(x0i, -1, w - 1) + 1
-        ys = jnp.clip(y0i, -1, h - 1) + 1
-        starts = jnp.stack([ys, xs], -1).reshape(B, Q * P, 2)
-
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3),
-            collapsed_slice_dims=(),
-            start_index_map=(0, 1),
-        )
-        patches = jax.vmap(
-            lambda v, s: jax.lax.gather(
-                v, s, dnums, (2, 2, C),
-                indices_are_sorted=False, unique_indices=False,
-                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            )
-        )(vpad, starts)  # (B, Q*P, 2, 2, C)
-        patches = patches.reshape(B, Q, P, 2, 2, H, D).astype(jnp.float32)
-
-        # bilinear + attention reduction:
-        # out[b,q,h,d] += sum_p attn * sum_{iy,ix} wy*wx * patch
-        corner_w = wy[..., :, None] * wx[..., None, :]  # (B, Q, P, 2, 2)
-        sampled = jnp.einsum("bqpyx,bqpyxhd->bqphd", corner_w, patches)
-        out = out + jnp.einsum("bqhp,bqphd->bqhd", attn, sampled)
+        for dy, wy in ((0, 1 - fy), (1, fy)):
+            for dx, wx in ((0, 1 - fx), (1, fx)):
+                cx = x0i + dx
+                cy = y0i + dy
+                valid = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+                idx_parts.append(
+                    start + jnp.clip(cy, 0, h - 1) * w + jnp.clip(cx, 0, w - 1)
+                )  # (B, Q, P)
+                w_parts.append(jnp.where(valid, wx * wy, 0.0))
         start += h * w
 
+    idx_all = jnp.stack(idx_parts, 2)  # (B, Q, L*4, P)
+    cw_all = jnp.stack(w_parts, 2)  # (B, Q, L*4, P)
+    base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    g = jnp.take(value.reshape(B * S, C), (idx_all + base).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, 4, P, H, D)
+
+    attn = attention_weights.astype(jnp.float32)  # (B, Q, H, L, P)
+    cw = cw_all.reshape(B, Q, L, 4, P)
+    weight = (
+        cw[:, :, :, :, :, None]
+        * jnp.transpose(attn, (0, 1, 3, 4, 2))[:, :, :, None]
+    ).astype(value.dtype)  # (B, Q, L, 4, P, H)
+    out = jnp.einsum(
+        "bqlcph,bqlcphd->bqhd", weight, g, preferred_element_type=jnp.float32
+    )
     return out.reshape(B, Q, C).astype(compute_dtype)
 
 

@@ -64,6 +64,18 @@ class TestBackboneShapes:
         assert feats[3].shape == (1, 2, 3, 1536)
 
 
+class TestViT:
+    def test_vit_shapes(self):
+        from salience_detr_tpu.models.backbones.vit import VisionTransformerBackbone
+
+        bb = VisionTransformerBackbone(arch="vit_b", return_indices=(1, 2, 3), out_channels=64)
+        assert bb.num_channels == [64, 64, 64]
+        feats = shapes_of(bb, hw=(64, 96))
+        assert feats[1].shape == (1, 8, 12, 64)
+        assert feats[2].shape == (1, 4, 6, 64)
+        assert feats[3].shape == (1, 2, 3, 64)
+
+
 class TestBackboneForward:
     def test_swin_tiny_forward_finite(self):
         bb = SwinTransformerBackbone(arch="swin_t", return_indices=(1, 2, 3))
