@@ -226,6 +226,10 @@ class SalienceTransformer(nn.Module):
     # TPU-native head-shared sampling locations (see bricks/attention.py);
     # set False for exact reference-checkpoint numerics
     shared_locations: bool = False
+    # rematerialize encoder/decoder layers in backward: the deformable
+    # attention's gathered rows (~1.5GB/layer at the 800x1344 canvas) would
+    # otherwise be saved as residuals and exhaust HBM
+    remat_layers: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -251,8 +255,13 @@ class SalienceTransformer(nn.Module):
             (self.two_stage_num_proposals, self.embed_dim),
         )
 
+        enc_cls = (
+            nn.remat(SalienceEncoderLayer, static_argnums=(5,))
+            if self.remat_layers
+            else SalienceEncoderLayer
+        )
         self.encoder_layers = [
-            SalienceEncoderLayer(
+            enc_cls(
                 self.embed_dim, self.d_ffn, self.num_heads, self.num_feature_levels,
                 self.num_points, self.topk_sa,
                 shared_locations=self.shared_locations,
@@ -270,8 +279,13 @@ class SalienceTransformer(nn.Module):
             (self.max_num_embedding, self.embed_dim // 2),
         )
 
+        dec_cls = (
+            nn.remat(SalienceDecoderLayer, static_argnums=(5,))
+            if self.remat_layers
+            else SalienceDecoderLayer
+        )
         self.decoder_layers = [
-            SalienceDecoderLayer(
+            dec_cls(
                 self.embed_dim, self.d_ffn, self.num_heads, self.num_feature_levels,
                 self.num_points, shared_locations=self.shared_locations,
                 dtype=self.dtype, name=f"decoder_layer_{i}",
