@@ -60,9 +60,15 @@ def make_train_step(
     weight_dict: Dict[str, float],
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    accumulate_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step; if ``mesh`` is given, shard the batch on
-    its 'dp' axis and replicate the state."""
+    its 'dp' axis and replicate the state.
+
+    ``accumulate_steps > 1`` splits the batch into micro-batches inside the
+    compiled step and averages gradients (the reference's
+    ``accelerator.accumulate``, /root/reference/util/engine.py:44 +
+    main.py:36-38) — batch dims must be divisible by it."""
 
     dn_groups = max(model.denoising_nums // model.dn_max_gt, 1)
     from salience_detr_tpu.models.bricks.denoising import GenerateCDNQueries
@@ -73,12 +79,8 @@ def make_train_step(
         dn_max_gt=model.dn_max_gt,
     ).dn_match_indices()
 
-    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+    def micro_grads(state, batch, rng, num_boxes):
         targets = Targets(batch["labels"], batch["boxes"], batch["gt_valid"])
-        # reference num_boxes normalization (set_criterion.py:141-147):
-        # global count clamped to >= 1 (see criterion.py docstring for the
-        # world_size rounding difference)
-        num_boxes = jnp.maximum(jnp.sum(targets.valid).astype(jnp.float32), 1.0)
 
         def loss_fn(params):
             variables = {"params": params, "frozen": state.frozen}
@@ -101,9 +103,38 @@ def make_train_step(
             total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
             return total, (losses, mutated.get("batch_stats", state.batch_stats))
 
-        (total, (losses, new_batch_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        if accumulate_steps <= 1:
+            # reference num_boxes normalization (set_criterion.py:141-147):
+            # global count clamped to >= 1 (see criterion.py docstring for the
+            # world_size rounding difference)
+            num_boxes = jnp.maximum(
+                jnp.sum(batch["gt_valid"]).astype(jnp.float32), 1.0
+            )
+            (total, (losses, new_batch_stats)), grads = micro_grads(
+                state, batch, rng, num_boxes
+            )
+        else:
+            # unrolled micro-batches; each normalized by its own num_boxes,
+            # gradients averaged (accelerator.accumulate semantics)
+            A = accumulate_steps
+            mbs = batch["images"].shape[0] // A
+            rngs = jax.random.split(rng, A)
+            grads = total = losses = None
+            new_batch_stats = state.batch_stats
+            for a in range(A):
+                mb = jax.tree.map(lambda x: x[a * mbs : (a + 1) * mbs], batch)
+                nb = jnp.maximum(jnp.sum(mb["gt_valid"]).astype(jnp.float32), 1.0)
+                st = state.replace(batch_stats=new_batch_stats)
+                (t, (l, new_batch_stats)), g = micro_grads(st, mb, rngs[a], nb)
+                grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+                total = t if total is None else total + t
+                losses = l if losses is None else jax.tree.map(jnp.add, losses, l)
+            grads = jax.tree.map(lambda x: x / A, grads)
+            total = total / A
+            losses = jax.tree.map(lambda x: x / A, losses)
 
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)

@@ -1,0 +1,74 @@
+"""Orbax checkpoint save/restore roundtrip + best-metric snapshots +
+tolerant weight update."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salience_detr_tpu.utils.checkpoint import (
+    CheckpointManager,
+    HighestCheckpoint,
+    tolerant_update,
+)
+
+
+def small_state(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "step": jnp.asarray(3),
+        "params": {
+            "dense": {"kernel": jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))},
+            "norm": {"scale": jnp.ones((8,))},
+        },
+    }
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+        state = small_state()
+        mgr.save(0, jax.device_get(state))
+        mgr.save(1, jax.device_get(jax.tree.map(lambda x: x + 1, state)))
+        assert mgr.latest_step() == 1
+        restored = mgr.restore(jax.device_get(state))
+        np.testing.assert_allclose(
+            restored["params"]["dense"]["kernel"],
+            np.asarray(state["params"]["dense"]["kernel"]) + 1,
+        )
+
+    def test_retention(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+        for i in range(4):
+            mgr.save(i, jax.device_get(small_state(i)))
+        assert mgr.latest_step() == 3
+        steps = mgr.manager.all_steps()
+        assert len(steps) <= 2
+
+    def test_best_snapshot(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        best = HighestCheckpoint(mgr)
+        s1, s2 = small_state(1), small_state(2)
+        best.update(jax.device_get(s1), ap=0.3, ap50=0.5)
+        best.update(jax.device_get(s2), ap=0.2, ap50=0.6)  # ap50 improves only
+        restored = mgr.restore_named("best_ap", jax.device_get(s1))
+        np.testing.assert_allclose(
+            restored["params"]["dense"]["kernel"], s1["params"]["dense"]["kernel"]
+        )
+        restored50 = mgr.restore_named("best_ap50", jax.device_get(s1))
+        np.testing.assert_allclose(
+            restored50["params"]["dense"]["kernel"], s2["params"]["dense"]["kernel"]
+        )
+
+    def test_tolerant_update(self):
+        params = small_state()["params"]
+        updates = {
+            "dense/kernel": np.zeros((4, 8), np.float32),
+            "norm/scale": np.zeros((99,), np.float32),  # shape mismatch
+            "missing/param": np.zeros((1,), np.float32),  # not in tree
+        }
+        new, applied, mismatches = tolerant_update(params, updates)
+        assert applied == 1
+        assert len(mismatches) == 2
+        np.testing.assert_allclose(new["dense"]["kernel"], 0.0)
+        np.testing.assert_allclose(new["norm"]["scale"], 1.0)
