@@ -81,6 +81,9 @@ class CocoDetection:
         self.coco = CocoIndex(ann_file)
         self.transforms = transforms
         self.train = train
+        # let Mosaic/MixUp-style transforms fetch extra samples (the
+        # reference's update_dataset hook, datasets/coco.py:31-40)
+        self._wire_dataset(transforms)
         ids = list(self.coco.img_ids)
         if train:
             # filter images without (valid) annotations (datasets/coco.py:98-133)
@@ -95,6 +98,14 @@ class CocoDetection:
             ]
         self.ids = ids
 
+    def _wire_dataset(self, transform):
+        if transform is None:
+            return
+        if hasattr(transform, "set_dataset"):
+            transform.set_dataset(_PlainDataset(self))
+        for child in getattr(transform, "transforms", []):
+            self._wire_dataset(child)
+
     def __len__(self):
         return len(self.ids)
 
@@ -105,13 +116,14 @@ class CocoDetection:
         img = cv2.imdecode(buf, cv2.IMREAD_COLOR)  # BGR
         return np.ascontiguousarray(img[:, :, ::-1])  # RGB
 
-    def __getitem__(self, idx: int):
+    def get_raw(self, idx: int):
+        """Sample without transforms (thread-safe; used by mix transforms)."""
         img_id = self.ids[idx]
         info = self.coco.imgs[img_id]
         image = self._load_image(info["file_name"])
         h, w = image.shape[:2]
         target = _prepare_target(h, w, self.coco.annotations(img_id))
-        sample = {
+        return {
             "image": image,
             "boxes": target["boxes"],
             "labels": target["labels"],
@@ -119,10 +131,26 @@ class CocoDetection:
             "image_id": img_id,
             "orig_size": np.asarray([h, w], np.int32),
         }
+
+    def __getitem__(self, idx: int):
+        sample = self.get_raw(idx)
         if self.transforms is not None:
             rng = random.Random(random.getrandbits(64))
             sample = self.transforms(sample, rng)
         return sample
+
+
+class _PlainDataset:
+    """Dataset view WITHOUT transforms (mix transforms need raw samples)."""
+
+    def __init__(self, ds: "CocoDetection"):
+        self._ds = ds
+
+    def __len__(self):
+        return len(self._ds)
+
+    def __getitem__(self, idx):
+        return self._ds.get_raw(idx)
 
 
 class Object365Detection(CocoDetection):

@@ -70,10 +70,11 @@ def sanitize(sample: Sample, min_size: float = 1.0) -> Sample:
     b = sample["boxes"]
     keep = (b[:, 2] - b[:, 0] >= min_size) & (b[:, 3] - b[:, 1] >= min_size)
     out = {**sample, "boxes": b[keep], "labels": sample["labels"][keep]}
-    if "iscrowd" in sample:
-        out["iscrowd"] = sample["iscrowd"][keep]
-    if "area" in sample:
-        out["area"] = sample["area"][keep]
+    for k in ("iscrowd", "area"):
+        if k in sample and len(sample[k]) == len(b):
+            out[k] = sample[k][keep]
+        else:
+            out.pop(k, None)
     return out
 
 
@@ -176,6 +177,129 @@ def _identity(sample, rng):
     return sample
 
 
+class Mosaic:
+    """4-image mosaic on a 2x2 canvas (/root/reference/transforms/
+    mix_transform.py:15+).  Needs dataset access for the extra samples, set
+    via :meth:`set_dataset` (the reference's update_dataset hook,
+    datasets/coco.py:31-40)."""
+
+    def __init__(self, size=(640, 640), p: float = 1.0):
+        self.size = size
+        self.p = p
+        self.dataset = None
+
+    def set_dataset(self, dataset):
+        self.dataset = dataset
+
+    def __call__(self, sample, rng: random.Random):
+        if self.dataset is None or rng.random() >= self.p:
+            return sample
+        th, tw = self.size
+        canvas = np.full((th * 2, tw * 2, 3), 114, np.uint8)
+        boxes_all, labels_all = [], []
+        cx = rng.randint(tw // 2, tw + tw // 2)
+        cy = rng.randint(th // 2, th + th // 2)
+        samples = [sample] + [
+            self.dataset[rng.randrange(len(self.dataset))] for _ in range(3)
+        ]
+        regions = [  # (x0, y0, x1, y1) on the canvas per quadrant
+            (0, 0, cx, cy), (cx, 0, tw * 2, cy), (0, cy, cx, th * 2), (cx, cy, tw * 2, th * 2),
+        ]
+        for s, (x0, y0, x1, y1) in zip(samples, regions):
+            rw, rh = x1 - x0, y1 - y0
+            s = shortest_size(s, min(rh, rw))
+            img = s["image"][:rh, :rw]
+            h, w = img.shape[:2]
+            canvas[y0 : y0 + h, x0 : x0 + w] = img
+            b = s["boxes"].copy()
+            b[:, [0, 2]] = b[:, [0, 2]].clip(0, w) + x0
+            b[:, [1, 3]] = b[:, [1, 3]].clip(0, h) + y0
+            boxes_all.append(b)
+            labels_all.append(s["labels"])
+        out = {
+            **{k: v for k, v in sample.items() if k not in ("area", "iscrowd")},
+            "image": canvas,
+            "boxes": np.concatenate(boxes_all).astype(np.float32),
+            "labels": np.concatenate(labels_all),
+        }
+        return sanitize(out)
+
+
+class MixUp:
+    """Blend two samples and union their boxes (mix_transform.py MixUp)."""
+
+    def __init__(self, alpha: float = 32.0, p: float = 0.5):
+        self.alpha = alpha
+        self.p = p
+        self.dataset = None
+
+    def set_dataset(self, dataset):
+        self.dataset = dataset
+
+    def __call__(self, sample, rng: random.Random):
+        if self.dataset is None or rng.random() >= self.p:
+            return sample
+        other = self.dataset[rng.randrange(len(self.dataset))]
+        h = max(sample["image"].shape[0], other["image"].shape[0])
+        w = max(sample["image"].shape[1], other["image"].shape[1])
+        lam = np.random.default_rng(rng.getrandbits(32)).beta(self.alpha, self.alpha)
+        canvas = np.zeros((h, w, 3), np.float32)
+        canvas[: sample["image"].shape[0], : sample["image"].shape[1]] += (
+            lam * sample["image"].astype(np.float32)
+        )
+        canvas[: other["image"].shape[0], : other["image"].shape[1]] += (
+            (1 - lam) * other["image"].astype(np.float32)
+        )
+        return {
+            **{k: v for k, v in sample.items() if k not in ("area", "iscrowd")},
+            "image": canvas.clip(0, 255).astype(np.uint8),
+            "boxes": np.concatenate([sample["boxes"], other["boxes"]]).astype(np.float32),
+            "labels": np.concatenate([sample["labels"], other["labels"]]),
+        }
+
+
+class RandomPhotometricDistort:
+    """Brightness/contrast/saturation/hue jitter (ssd preset ingredient)."""
+
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        img = sample["image"].astype(np.float32)
+        if rng.random() < self.p:
+            img = img * rng.uniform(0.875, 1.125)  # brightness
+        if rng.random() < self.p:
+            mean = img.mean()
+            img = (img - mean) * rng.uniform(0.5, 1.5) + mean  # contrast
+        if rng.random() < self.p:
+            gray = img.mean(-1, keepdims=True)
+            img = gray + (img - gray) * rng.uniform(0.5, 1.5)  # saturation
+        return {**sample, "image": img.clip(0, 255).astype(np.uint8)}
+
+
+class RandomZoomOut:
+    """Place the image on a larger canvas (ssd preset ingredient)."""
+
+    def __init__(self, fill=(123, 117, 104), side_range=(1.0, 4.0), p: float = 0.5):
+        self.fill = np.asarray(fill, np.uint8)
+        self.side_range = side_range
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        if rng.random() >= self.p:
+            return sample
+        h, w = sample["image"].shape[:2]
+        r = rng.uniform(*self.side_range)
+        nh, nw = int(h * r), int(w * r)
+        top = rng.randint(0, nh - h)
+        left = rng.randint(0, nw - w)
+        canvas = np.empty((nh, nw, 3), np.uint8)
+        canvas[:] = self.fill
+        canvas[top : top + h, left : left + w] = sample["image"]
+        boxes = sample["boxes"] + np.array([left, top, left, top], np.float32)
+        return {**sample, "image": canvas, "boxes": boxes}
+
+
 # ------------------------------------------------------------------ presets
 
 basic = Compose([])
@@ -203,10 +327,41 @@ lsj = Compose([
     Sanitize(),
 ])
 
+ssd = Compose([
+    RandomPhotometricDistort(),
+    RandomZoomOut(),
+    RandomHorizontalFlip(0.5),
+    Sanitize(),
+])
+
+mosaic = Compose([
+    Mosaic((640, 640)),
+    RandomShortestSize(SCALES, 1333),
+    RandomHorizontalFlip(0.5),
+    Sanitize(),
+])
+
+mixup_detr = Compose([
+    MixUp(),
+    RandomHorizontalFlip(0.5),
+    RandomChoice([
+        RandomShortestSize(SCALES, 1333),
+        Compose([
+            RandomShortestSize([400, 500, 600]),
+            RandomSizeCrop(384, 600),
+            RandomShortestSize(SCALES, 1333),
+        ]),
+    ]),
+    Sanitize(),
+])
+
 PRESETS = {
     "basic": basic,
     "hflip": hflip_preset,
     "multiscale": multiscale,
     "detr": detr,
     "lsj": lsj,
+    "ssd": ssd,
+    "mosaic": mosaic,
+    "mixup": mixup_detr,
 }

@@ -62,6 +62,62 @@ class TestTransforms:
             assert len(out["boxes"]) == len(out["labels"])
 
 
+class TestMixTransforms:
+    class _FakeDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return sample(h=90 + 10 * i, w=120, n=2, seed=i)
+
+    def test_mosaic(self):
+        t = T.Mosaic((64, 64))
+        t.set_dataset(self._FakeDataset())
+        rng = random.Random(0)
+        out = t(sample(h=100, w=140, n=3), rng)
+        assert out["image"].shape == (128, 128, 3)
+        assert len(out["boxes"]) == len(out["labels"])
+
+    def test_mixup(self):
+        t = T.MixUp(p=1.0)
+        t.set_dataset(self._FakeDataset())
+        rng = random.Random(0)
+        s = sample(h=100, w=140, n=3)
+        out = t(s, rng)
+        assert len(out["boxes"]) > len(s["boxes"])
+        assert out["image"].dtype == np.uint8
+
+    def test_photometric_and_zoomout(self):
+        rng = random.Random(0)
+        s = sample()
+        out = T.RandomPhotometricDistort(p=1.0)(s, rng)
+        assert out["image"].shape == s["image"].shape
+        out = T.RandomZoomOut(p=1.0)(s, rng)
+        assert out["image"].shape[0] >= s["image"].shape[0]
+        # boxes stay inside the new canvas
+        assert (out["boxes"][:, 2] <= out["image"].shape[1]).all()
+
+    def test_preset_wiring_via_dataset(self, tmp_path):
+        # CocoDetection wires set_dataset through nested Compose
+        import cv2, json
+
+        img_dir = tmp_path / "im"
+        img_dir.mkdir()
+        cv2.imwrite(str(img_dir / "0.jpg"), np.zeros((64, 64, 3), np.uint8))
+        ann = {
+            "images": [{"id": 0, "file_name": "0.jpg", "height": 64, "width": 64}],
+            "annotations": [{"id": 0, "image_id": 0, "category_id": 1,
+                             "bbox": [5, 5, 20, 20], "area": 400, "iscrowd": 0}],
+            "categories": [{"id": 1, "name": "x"}],
+        }
+        (tmp_path / "a.json").write_text(json.dumps(ann))
+        ds = CocoDetection(str(img_dir), str(tmp_path / "a.json"), transforms=T.PRESETS["mosaic"])
+        mosaic_t = ds.transforms.transforms[0]
+        assert mosaic_t.dataset is not None
+        s = ds[0]
+        assert s["image"].ndim == 3
+
+
 class TestPackBatch:
     def test_padding_and_normalization(self):
         s1 = sample(h=80, w=120, n=2)
