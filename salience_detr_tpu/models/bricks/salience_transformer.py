@@ -255,8 +255,13 @@ class SalienceTransformer(nn.Module):
             (self.two_stage_num_proposals, self.embed_dim),
         )
 
+        # save all layer activations except the named gathered rows: backward
+        # re-runs only the cheap gather, not the whole layer
+        remat_policy = jax.checkpoint_policies.save_anything_except_these_names(
+            "msda_gather"
+        )
         enc_cls = (
-            nn.remat(SalienceEncoderLayer, static_argnums=(5,))
+            nn.remat(SalienceEncoderLayer, static_argnums=(5,), policy=remat_policy)
             if self.remat_layers
             else SalienceEncoderLayer
         )
@@ -280,7 +285,7 @@ class SalienceTransformer(nn.Module):
         )
 
         dec_cls = (
-            nn.remat(SalienceDecoderLayer, static_argnums=(5,))
+            nn.remat(SalienceDecoderLayer, static_argnums=(5,), policy=remat_policy)
             if self.remat_layers
             else SalienceDecoderLayer
         )

@@ -194,6 +194,9 @@ def ms_deform_attn_core_shared(
     cw_all = jnp.stack(w_parts, 2)  # (B, Q, L*4, P)
     base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
     g = jnp.take(value.reshape(B * S, C), (idx_all + base).reshape(-1), axis=0)
+    # named for the remat policy: the gathered rows (~1.5GB/layer) are the one
+    # activation we always recompute instead of saving
+    g = jax.ad_checkpoint.checkpoint_name(g, "msda_gather")
     g = g.reshape(B, Q, L, 4, P, H, D)
 
     attn = attention_weights.astype(jnp.float32)  # (B, Q, H, L, P)
