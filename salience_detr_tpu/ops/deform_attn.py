@@ -21,6 +21,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 
 def ms_deform_attn_core(
@@ -196,7 +197,7 @@ def ms_deform_attn_core_shared(
     g = jnp.take(value.reshape(B * S, C), (idx_all + base).reshape(-1), axis=0)
     # named for the remat policy: the gathered rows (~1.5GB/layer) are the one
     # activation we always recompute instead of saving
-    g = jax.ad_checkpoint.checkpoint_name(g, "msda_gather")
+    g = checkpoint_name(g, "msda_gather")
     g = g.reshape(B, Q, L, 4, P, H, D)
 
     attn = attention_weights.astype(jnp.float32)  # (B, Q, H, L, P)
