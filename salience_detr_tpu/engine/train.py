@@ -37,10 +37,11 @@ def train_one_epoch(
     metric_logger = MetricLogger(logger=logger)
     header = f"Epoch: [{epoch}]"
 
-    pending = None  # (step_idx, metrics) fetched one interval late
+    steps = 0
     for i, batch in enumerate(metric_logger.log_every(loader, print_freq, header)):
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, batch, step_rng)
+        steps += 1
 
         if i % print_freq == 0:
             # fetch the (async) metrics; one device sync per interval
@@ -55,7 +56,7 @@ def train_one_epoch(
                     {f"loss/{k}": v for k, v in host_metrics.items()},
                     global_step + i,
                 )
-    return state, global_step + len(loader)
+    return state, global_step + steps
 
 
 def evaluate(

@@ -255,13 +255,11 @@ class SalienceTransformer(nn.Module):
             (self.two_stage_num_proposals, self.embed_dim),
         )
 
-        # save all layer activations except the named gathered rows: backward
-        # re-runs only the cheap gather, not the whole layer
-        remat_policy = jax.checkpoint_policies.save_anything_except_these_names(
-            "msda_gather"
-        )
+        # full remat of each layer: selective policies (save-anything-except
+        # the gathered rows) still OOM on 16GB HBM because the fp32 decoder
+        # attention logits and fusion temps get saved; recompute everything
         enc_cls = (
-            nn.remat(SalienceEncoderLayer, static_argnums=(5,), policy=remat_policy)
+            nn.remat(SalienceEncoderLayer, static_argnums=(5,))
             if self.remat_layers
             else SalienceEncoderLayer
         )
@@ -285,7 +283,7 @@ class SalienceTransformer(nn.Module):
         )
 
         dec_cls = (
-            nn.remat(SalienceDecoderLayer, static_argnums=(5,), policy=remat_policy)
+            nn.remat(SalienceDecoderLayer, static_argnums=(5,))
             if self.remat_layers
             else SalienceDecoderLayer
         )

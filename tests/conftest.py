@@ -5,7 +5,9 @@ initializes, so multi-chip sharding tests run without TPU hardware
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel), and tests must run on the 8-device virtual CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 # persistent compilation cache makes repeated test runs compile-free
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")

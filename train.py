@@ -71,7 +71,12 @@ def main():
     logger = setup_logger(output=output_dir, rank=jax.process_index())
     logger.info(f"Command: {' '.join(sys.argv)}")
     logger.info(f"Config:\n{cfg.pretty()}")
-    logger.info(f"Devices: {jax.devices()}  seed={seed}")
+
+    from salience_detr_tpu.utils.env import collect_env_info, seed_everything
+
+    seed = seed_everything(seed)
+    logger.info(f"Environment:\n{collect_env_info()}")
+    logger.info(f"seed={seed}")
 
     # data
     train_dataset = CocoDetection(
@@ -91,6 +96,13 @@ def main():
         eval_min_size=model_cfg.min_size, eval_max_size=model_cfg.max_size,
     )
     steps_per_epoch = len(train_loader)
+
+    # class vocabulary rides with the run (the reference stores int-encoded
+    # class names in the checkpoint + label_names.txt, main.py:139-168)
+    names = {c["id"]: c["name"] for c in train_dataset.coco.cats.values()}
+    with open(os.path.join(output_dir, "label_names.txt"), "w") as f:
+        for i in range(max(names, default=0) + 1):
+            f.write(names.get(i, str(i)) + "\n")
 
     # model + optimizer
     model, criterion, sal_criterion, postprocess = build_salience_detr(model_cfg)
