@@ -18,9 +18,16 @@ value / (2 * 15.0) — >= 1.0 means the north-star throughput target is met.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: the 1-core host takes minutes per fresh compile
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache"),
+)
 import jax.numpy as jnp
 import numpy as np
 
