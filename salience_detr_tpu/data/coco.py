@@ -132,12 +132,17 @@ class CocoDetection:
             "orig_size": np.asarray([h, w], np.int32),
         }
 
-    def __getitem__(self, idx: int):
+    def get_with_rng(self, idx: int, rng: random.Random):
+        """Deterministic variant: augmentation randomness comes from the
+        caller (the loader derives it from (seed, epoch, index) — the
+        reference's seed_worker/fixed_generator role, util/misc.py:157-166)."""
         sample = self.get_raw(idx)
         if self.transforms is not None:
-            rng = random.Random(random.getrandbits(64))
             sample = self.transforms(sample, rng)
         return sample
+
+    def __getitem__(self, idx: int):
+        return self.get_with_rng(idx, random.Random(random.getrandbits(64)))
 
 
 class _PlainDataset:

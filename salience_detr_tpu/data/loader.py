@@ -130,7 +130,11 @@ class DetectionLoader:
         return self.canvas_land if w >= h else self.canvas_port
 
     def _prepare(self, idx: int) -> dict:
-        s = self.dataset[idx]
+        if hasattr(self.dataset, "get_with_rng"):
+            rng = random.Random((self.seed * 1_000_003 + self.epoch) * 1_000_003 + idx)
+            s = self.dataset.get_with_rng(idx, rng)
+        else:
+            s = self.dataset[idx]
         if self.eval_min_size is not None:
             # eval resize lives here on host (the reference keeps it inside
             # the model; the geometry is identical)

@@ -178,6 +178,27 @@ class TestCocoDataset:
         assert s["boxes"].shape == (1, 4)
         assert s["labels"].tolist() == [1]
 
+    def test_loader_deterministic(self, dataset_dir):
+        from salience_detr_tpu.data.transforms import PRESETS
+
+        img_dir, ann_file = dataset_dir
+        def batches(seed, epoch):
+            ds = CocoDetection(img_dir, ann_file, transforms=PRESETS["detr"])
+            loader = DetectionLoader(ds, 2, canvas_hw=(1344, 1344), max_gt=8,
+                                     shuffle=True, seed=seed, num_workers=2,
+                                     drop_last=False)
+            loader.set_epoch(epoch)
+            return list(loader)
+
+        a, b = batches(0, 0), batches(0, 0)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["images"], y["images"])
+            np.testing.assert_array_equal(x["boxes"], y["boxes"])
+        c = batches(0, 1)
+        assert any(
+            not np.array_equal(x["images"], y["images"]) for x, y in zip(a, c)
+        )
+
     def test_loader_buckets_and_static_shapes(self, dataset_dir):
         img_dir, ann_file = dataset_dir
         ds = CocoDetection(img_dir, ann_file)
