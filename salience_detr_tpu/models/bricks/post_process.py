@@ -57,3 +57,29 @@ class PostProcess:
             valid = valid & keep
 
         return {"scores": scores, "labels": labels, "boxes": boxes, "valid": valid}
+
+
+class SegmentationPostProcess:
+    """Query masks -> per-pixel class map (functional equivalent of the
+    reference's unused SegmentationPostProcess, post_process.py:77-129):
+    queries of the same argmax class are averaged into one mask per class,
+    then the per-class stack is argmaxed after resizing."""
+
+    def __call__(
+        self,
+        pred_logits: jnp.ndarray,  # (B, Q, C)
+        pred_masks: jnp.ndarray,  # (B, Q, h, w)
+        target_hw,  # static (H, W) output size
+    ) -> jnp.ndarray:
+        B, Q, C = pred_logits.shape
+        cls = jnp.argmax(pred_logits, -1)  # (B, Q)
+        onehot = jax.nn.one_hot(cls, C, dtype=jnp.float32)  # (B, Q, C)
+        masks = jax.nn.sigmoid(pred_masks.astype(jnp.float32))
+        # mean mask per class over its queries (empty class -> zeros)
+        num = jnp.einsum("bqc,bqhw->bchw", onehot, masks)
+        den = jnp.maximum(onehot.sum(1), 1.0)[..., None, None]
+        per_class = num / den  # (B, C, h, w)
+        per_class = jax.image.resize(
+            per_class, (B, C, *target_hw), method="bilinear"
+        )
+        return jnp.argmax(per_class, axis=1)  # (B, H, W)
