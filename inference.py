@@ -20,6 +20,7 @@ def parse_args():
     p.add_argument("--show-dir", default="visualization")
     p.add_argument("--score-threshold", type=float, default=0.3)
     p.add_argument("--save-results", default=None)
+    p.add_argument("--canvas", type=int, nargs=2, default=(800, 1344))
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -41,12 +42,12 @@ def main():
     model, _, _, postprocess = build_salience_detr(model_cfg)
     dataset = InferenceDataset(args.image_dir)
     loader = DetectionLoader(
-        dataset, batch_size=1, canvas_hw=(800, 1344), max_gt=1, shuffle=False,
+        dataset, batch_size=1, canvas_hw=tuple(args.canvas), max_gt=1, shuffle=False,
         drop_last=False, eval_min_size=model_cfg.min_size,
         eval_max_size=model_cfg.max_size,
     )
 
-    H, W = 800, 1344
+    H, W = args.canvas
     variables = jax.jit(
         lambda: model.init(
             {"params": jax.random.PRNGKey(args.seed)},

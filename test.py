@@ -23,6 +23,8 @@ def parse_args():
     p.add_argument("--save-results", default=None, help="dump predictions JSON here")
     p.add_argument("--show-dir", default=None, help="save visualizations here")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--canvas", type=int, nargs=2, default=(800, 1344))
+    p.add_argument("--max-gt", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -77,12 +79,12 @@ def main():
     model, _, _, postprocess = build_salience_detr(model_cfg)
 
     loader = DetectionLoader(
-        dataset, args.batch_size, canvas_hw=(800, 1344), max_gt=100,
+        dataset, args.batch_size, canvas_hw=tuple(args.canvas), max_gt=args.max_gt,
         shuffle=False, drop_last=False,
         eval_min_size=model_cfg.min_size, eval_max_size=model_cfg.max_size,
     )
     mesh = make_mesh()
-    B, (H, W), M = args.batch_size, (800, 1344), 100
+    B, (H, W), M = args.batch_size, tuple(args.canvas), args.max_gt
     with mesh:
         init = jax.jit(
             lambda: model.init(
@@ -121,6 +123,7 @@ def main():
     if args.save_results:
         results = []
         for img_id, pred in evaluator.predictions.items():
+            # evaluator stores xywh (COCO result format)
             for b, s, l in zip(pred["boxes"], pred["scores"], pred["labels"]):
                 results.append({
                     "image_id": int(img_id),
