@@ -14,13 +14,8 @@ def test_dryrun_multichip_8():
 
 
 def test_entry_shapes():
-    """entry() must return a jittable fn + example args (driver contract).
-    Uses eval_shape only — full compile is covered by bench/driver."""
-    import __graft_entry__ as g
-
-    fn, args = g.entry.__wrapped__() if hasattr(g.entry, "__wrapped__") else (None, None)
-    # entry() initializes full-size parameters; just validate the contract
-    # lazily via eval_shape of the flagship model instead of executing it.
+    """Driver contract sanity via eval_shape of the flagship model (entry()
+    itself initializes full-size parameters — compiled separately on TPU)."""
     import jax.numpy as jnp
 
     from salience_detr_tpu.models.factory import SalienceDETRConfig, build_salience_detr
