@@ -34,7 +34,21 @@ def hflip(sample: Sample) -> Sample:
     boxes = sample["boxes"].copy()
     w = img.shape[1]
     boxes[:, [0, 2]] = w - sample["boxes"][:, [2, 0]]
-    return {**sample, "image": np.ascontiguousarray(img), "boxes": boxes}
+    out = {**sample, "image": np.ascontiguousarray(img), "boxes": boxes}
+    if "masks" in sample and len(sample["masks"]):
+        out["masks"] = np.ascontiguousarray(sample["masks"][:, :, ::-1])
+    return out
+
+
+def vflip(sample: Sample) -> Sample:
+    img = sample["image"][::-1]
+    boxes = sample["boxes"].copy()
+    h = img.shape[0]
+    boxes[:, [1, 3]] = h - sample["boxes"][:, [3, 1]]
+    out = {**sample, "image": np.ascontiguousarray(img), "boxes": boxes}
+    if "masks" in sample and len(sample["masks"]):
+        out["masks"] = np.ascontiguousarray(sample["masks"][:, ::-1])
+    return out
 
 
 def resize(sample: Sample, size_hw) -> Sample:
@@ -42,7 +56,14 @@ def resize(sample: Sample, size_hw) -> Sample:
     nh, nw = size_hw
     img = cv2.resize(sample["image"], (nw, nh), interpolation=cv2.INTER_LINEAR)
     boxes = sample["boxes"] * np.array([nw / w, nh / h, nw / w, nh / h], np.float32)
-    return {**sample, "image": img, "boxes": boxes.astype(np.float32)}
+    out = {**sample, "image": img, "boxes": boxes.astype(np.float32)}
+    if "masks" in sample and len(sample["masks"]):
+        m = sample["masks"].transpose(1, 2, 0).astype(np.uint8)
+        m = cv2.resize(m, (nw, nh), interpolation=cv2.INTER_NEAREST)
+        if m.ndim == 2:
+            m = m[:, :, None]
+        out["masks"] = m.transpose(2, 0, 1)
+    return out
 
 
 def shortest_size(sample: Sample, min_size: int, max_size: Optional[int] = None) -> Sample:

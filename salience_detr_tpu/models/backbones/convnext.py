@@ -14,11 +14,12 @@ import jax
 import jax.numpy as jnp
 
 ARCH_SETTINGS: Dict[str, Dict] = {
-    # torchvision convnext_* block settings: (depths, dims)
-    "conv_t": dict(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768)),
-    "conv_s": dict(depths=(3, 3, 27, 3), dims=(96, 192, 384, 768)),
-    "conv_b": dict(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024)),
-    "conv_l": dict(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536)),
+    # torchvision convnext_* block settings: (depths, dims, stochastic depth)
+    # sd values from the reference arch registry (convnext.py:180-220)
+    "conv_t": dict(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768), sd=0.1),
+    "conv_s": dict(depths=(3, 3, 27, 3), dims=(96, 192, 384, 768), sd=0.4),
+    "conv_b": dict(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024), sd=0.5),
+    "conv_l": dict(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536), sd=0.5),
 }
 
 
@@ -55,7 +56,8 @@ class CNBlock(nn.Module):
 class ConvNeXtBackbone(nn.Module):
     arch: str = "conv_l"
     return_indices: Tuple[int, ...] = (1, 2, 3)
-    stochastic_depth_prob: float = 0.0
+    # None -> the reference arch registry's value (convnext.py:180-220)
+    stochastic_depth_prob: Any = None
     dtype: Any = jnp.float32
 
     @property
@@ -66,6 +68,10 @@ class ConvNeXtBackbone(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[int, jnp.ndarray]:
         cfg = ARCH_SETTINGS[self.arch]
         depths, dims = cfg["depths"], cfg["dims"]
+        sd_prob = (
+            cfg["sd"] if self.stochastic_depth_prob is None
+            else self.stochastic_depth_prob
+        )
         total_blocks = sum(depths)
         block_id = 0
 
@@ -86,7 +92,7 @@ class ConvNeXtBackbone(nn.Module):
                     name=f"downsample_conv{stage}",
                 )(x)
             for b in range(depths[stage]):
-                sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
+                sd = sd_prob * block_id / max(total_blocks - 1, 1)
                 x = CNBlock(
                     dims[stage], stochastic_depth_prob=sd, dtype=self.dtype,
                     name=f"stage{stage}_block{b}",

@@ -14,25 +14,25 @@ import jax.numpy as jnp
 ARCH_SETTINGS: Dict[str, Dict] = {
     "focalnet_tiny_srf": dict(embed_dim=96, depths=(2, 2, 6, 2), focal_levels=(2,) * 4,
                               focal_windows=(3,) * 4, conv_embed=False, postln=False,
-                              layerscale=False, norm_mod=False),
+                              layerscale=False, norm_mod=False, sd=0.2),
     "focalnet_tiny_lrf": dict(embed_dim=96, depths=(2, 2, 18, 2), focal_levels=(3,) * 4,
                               focal_windows=(3,) * 4, conv_embed=False, postln=False,
-                              layerscale=False, norm_mod=False),
+                              layerscale=False, norm_mod=False, sd=0.2),
     "focalnet_base_lrf": dict(embed_dim=128, depths=(2, 2, 18, 2), focal_levels=(3,) * 4,
                               focal_windows=(3,) * 4, conv_embed=False, postln=False,
-                              layerscale=False, norm_mod=False),
+                              layerscale=False, norm_mod=False, sd=0.5),
     "focalnet_large_lrf": dict(embed_dim=192, depths=(2, 2, 18, 2), focal_levels=(3,) * 4,
                                focal_windows=(5,) * 4, conv_embed=True, postln=True,
-                               layerscale=True, norm_mod=False),
+                               layerscale=True, norm_mod=False, sd=0.5),
     "focalnet_large_lrf_fl4": dict(embed_dim=192, depths=(2, 2, 18, 2), focal_levels=(4,) * 4,
                                    focal_windows=(3,) * 4, conv_embed=True, postln=True,
-                                   layerscale=True, norm_mod=True),
+                                   layerscale=True, norm_mod=True, sd=0.5),
     "focalnet_xlarge_lrf_fl4": dict(embed_dim=256, depths=(2, 2, 18, 2), focal_levels=(4,) * 4,
                                     focal_windows=(3,) * 4, conv_embed=True, postln=True,
-                                    layerscale=True, norm_mod=True),
+                                    layerscale=True, norm_mod=True, sd=0.5),
     "focalnet_huge_fl4": dict(embed_dim=352, depths=(2, 2, 18, 2), focal_levels=(4,) * 4,
                               focal_windows=(3,) * 4, conv_embed=True, postln=True,
-                              layerscale=True, norm_mod=False, postln_in_mod=True),
+                              layerscale=True, norm_mod=False, postln_in_mod=True, sd=0.5),
 }
 
 
@@ -158,7 +158,8 @@ class PatchEmbed(nn.Module):
 class FocalNetBackbone(nn.Module):
     arch: str = "focalnet_large_lrf_fl4"
     return_indices: Tuple[int, ...] = (1, 2, 3)
-    stochastic_depth_prob: float = 0.0
+    # None -> the reference arch registry's value (focalnet.py:381-547)
+    stochastic_depth_prob: Any = None
     dtype: Any = jnp.float32
 
     @property
@@ -170,6 +171,10 @@ class FocalNetBackbone(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[int, jnp.ndarray]:
         cfg = ARCH_SETTINGS[self.arch]
         e, depths = cfg["embed_dim"], cfg["depths"]
+        sd_prob = (
+            cfg.get("sd", 0.0) if self.stochastic_depth_prob is None
+            else self.stochastic_depth_prob
+        )
         total_blocks = sum(depths)
         block_id = 0
 
@@ -182,7 +187,7 @@ class FocalNetBackbone(nn.Module):
         dim = e
         for stage in range(4):
             for b in range(depths[stage]):
-                sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
+                sd = sd_prob * block_id / max(total_blocks - 1, 1)
                 x = FocalModulationBlock(
                     dim,
                     focal_level=cfg["focal_levels"][stage],

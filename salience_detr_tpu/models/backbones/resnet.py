@@ -116,7 +116,7 @@ class ResNetBackbone(nn.Module):
         return [64 * expansion * 2**i for i in self.return_indices]
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Dict[int, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[int, jnp.ndarray]:
         cfg = ARCH_SETTINGS[self.arch]
         block_cls = Bottleneck if cfg["block"] == "bottleneck" else BasicBlock
         layers = cfg["layers"]

@@ -20,12 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 ARCH_SETTINGS: Dict[str, Dict] = {
-    "swin_t": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), window=7),
-    "swin_s": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24), window=7),
-    "swin_b": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), window=7),
-    "swin_l": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48), window=7),
-    "swin_b_384": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), window=12),
-    "swin_l_384": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48), window=12),
+    # sd = stochastic depth prob from the reference registry (swin.py:612-735)
+    "swin_t": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), window=7, sd=0.2),
+    "swin_s": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24), window=7, sd=0.3),
+    "swin_b": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), window=7, sd=0.5),
+    "swin_l": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48), window=7, sd=0.2),
+    "swin_b_384": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), window=12, sd=0.2),
+    "swin_l_384": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48), window=12, sd=0.2),
 }
 
 
@@ -124,21 +125,32 @@ class SwinBlock(nn.Module):
     window: int
     shift: int
     mlp_ratio: float = 4.0
+    stochastic_depth_prob: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        def drop_path(y):
+            # torchvision StochasticDepth(p, "row") on both residual branches
+            # (reference swin.py SwinTransformerBlock.forward :441-442)
+            if train and self.stochastic_depth_prob > 0:
+                keep = 1.0 - self.stochastic_depth_prob
+                rng = self.make_rng("dropout")
+                mask = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1, 1))
+                return y * mask.astype(y.dtype) / keep
+            return y
+
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         y = WindowAttention(
             self.dim, self.window, self.num_heads, self.shift, dtype=self.dtype,
             name="attn",
         )(y)
-        x = x + y
+        x = x + drop_path(y)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + y
+        return x + drop_path(y)
 
 
 class PatchMerging(nn.Module):
@@ -161,6 +173,8 @@ class PatchMerging(nn.Module):
 class SwinTransformerBackbone(nn.Module):
     arch: str = "swin_l"
     return_indices: Tuple[int, ...] = (1, 2, 3)
+    # None -> the reference arch registry's value (swin.py:612-735)
+    stochastic_depth_prob: Any = None
     dtype: Any = jnp.float32
 
     @property
@@ -179,16 +193,25 @@ class SwinTransformerBackbone(nn.Module):
 
         outputs = {}
         dim = e
+        sd_prob = (
+            cfg["sd"] if self.stochastic_depth_prob is None
+            else self.stochastic_depth_prob
+        )
+        total_blocks = sum(depths)
+        block_id = 0
         for stage in range(4):
             if stage > 0:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"merge{stage}")(x)
                 dim *= 2
             for b in range(depths[stage]):
+                sd = sd_prob * block_id / max(total_blocks - 1, 1)
                 x = SwinBlock(
                     dim, heads[stage], window,
                     shift=0 if b % 2 == 0 else window // 2,
+                    stochastic_depth_prob=sd,
                     dtype=self.dtype, name=f"stage{stage}_block{b}",
-                )(x)
+                )(x, train=train)
+                block_id += 1
             if stage in self.return_indices:
                 outputs[stage] = x
         return outputs

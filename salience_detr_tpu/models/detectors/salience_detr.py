@@ -72,7 +72,9 @@ class SalienceDETR(nn.Module):
         B, H, W, _ = images.shape
         canvas = (H, W)
 
-        feats = self.backbone(images.astype(self.dtype))
+        # stochastic depth in the transformer backbones needs the train flag
+        # (reference trains backbones with StochasticDepth active)
+        feats = self.backbone(images.astype(self.dtype), train=train)
         feats = self.neck(feats)  # list of (B, h, w, C)
 
         shapes = [(f.shape[1], f.shape[2]) for f in feats]

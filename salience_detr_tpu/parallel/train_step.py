@@ -38,7 +38,11 @@ class TrainState:
 def create_train_state(model, tx, images, image_sizes, targets, seed: int = 0) -> TrainState:
     variables = jax.jit(
         lambda: model.init(
-            {"params": jax.random.PRNGKey(seed), "denoising": jax.random.PRNGKey(seed + 1)},
+            {
+                "params": jax.random.PRNGKey(seed),
+                "denoising": jax.random.PRNGKey(seed + 1),
+                "dropout": jax.random.PRNGKey(seed + 2),
+            },
             images, image_sizes, targets, train=True,
         )
     )()
@@ -81,6 +85,7 @@ def make_train_step(
 
     def micro_grads(state, batch, rng, num_boxes):
         targets = Targets(batch["labels"], batch["boxes"], batch["gt_valid"])
+        dn_rng, drop_rng = jax.random.split(rng)
 
         def loss_fn(params):
             variables = {"params": params, "frozen": state.frozen}
@@ -92,7 +97,7 @@ def make_train_step(
                 batch["image_sizes"],
                 targets,
                 train=True,
-                rngs={"denoising": rng},
+                rngs={"denoising": dn_rng, "dropout": drop_rng},
                 mutable=["batch_stats"],
             )
             losses = compute_loss(

@@ -102,6 +102,121 @@ def _resnet_rules(layers: Tuple[int, ...] = (3, 4, 6, 3), bottleneck: bool = Tru
     return rules
 
 
+def _convnext_rules(
+    depths: Tuple[int, ...] = (3, 3, 27, 3),
+    prefix: str = "backbone",
+) -> List[Tuple[str, str, str]]:
+    """torchvision ConvNeXt (vendored at /root/reference/models/backbones/
+    convnext.py): stem features.0.{0 conv,1 LayerNorm2d}; stage s blocks at
+    features.{2s+1}.{b}.block.{0 dwconv,2 norm,3 pwconv1,5 pwconv2} +
+    .layer_scale; downsample s>=1 at features.{2s}.{0 norm,1 conv}."""
+    rules = []
+    rules += _conv(f"{prefix}.features.0.0", "backbone/stem_conv")
+    rules += [(f"{prefix}.features.0.0.bias", "params/backbone/stem_conv/bias", "copy")]
+    rules += _ln(f"{prefix}.features.0.1", "backbone/stem_norm")
+    for s in range(4):
+        if s > 0:
+            rules += _ln(f"{prefix}.features.{2 * s}.0", f"backbone/downsample_norm{s}")
+            rules += _conv(f"{prefix}.features.{2 * s}.1", f"backbone/downsample_conv{s}")
+            rules += [(f"{prefix}.features.{2 * s}.1.bias",
+                       f"params/backbone/downsample_conv{s}/bias", "copy")]
+        for b in range(depths[s]):
+            src = f"{prefix}.features.{2 * s + 1}.{b}"
+            dst = f"backbone/stage{s}_block{b}"
+            rules += _conv(f"{src}.block.0", f"{dst}/dwconv")
+            rules += [(f"{src}.block.0.bias", f"params/{dst}/dwconv/bias", "copy")]
+            rules += _ln(f"{src}.block.2", f"{dst}/norm")
+            rules += _linear(f"{src}.block.3", f"{dst}/pwconv1")
+            rules += _linear(f"{src}.block.5", f"{dst}/pwconv2")
+            rules += [(f"{src}.layer_scale", f"params/{dst}/gamma", "flatten")]
+    return rules
+
+
+def _swin_rules(
+    depths: Tuple[int, ...] = (2, 2, 18, 2),
+    prefix: str = "backbone.0",
+) -> List[Tuple[str, str, str]]:
+    """torchvision Swin (vendored at /root/reference/models/backbones/swin.py;
+    wrapped as nn.Sequential(fx, PostProcess) -> 'backbone.0.' prefix,
+    swin.py:768-770): patch embed features.0.{0 conv,2 norm}; stage s blocks
+    at features.{2s+1}.{b}.{norm1, attn.{qkv,proj,relative_position_bias_table},
+    norm2, mlp.{0,3}}; PatchMerging s>=1 at features.{2s}.{reduction,norm}."""
+    rules = []
+    rules += _conv(f"{prefix}.features.0.0", "backbone/patch_embed")
+    rules += [(f"{prefix}.features.0.0.bias", "params/backbone/patch_embed/bias", "copy")]
+    rules += _ln(f"{prefix}.features.0.2", "backbone/patch_norm")
+    for s in range(4):
+        if s > 0:
+            rules += _ln(f"{prefix}.features.{2 * s}.norm", f"backbone/merge{s}/norm")
+            rules += _linear(
+                f"{prefix}.features.{2 * s}.reduction", f"backbone/merge{s}/reduction",
+                bias=False,
+            )
+        for b in range(depths[s]):
+            src = f"{prefix}.features.{2 * s + 1}.{b}"
+            dst = f"backbone/stage{s}_block{b}"
+            rules += _ln(f"{src}.norm1", f"{dst}/norm1")
+            rules += _linear(f"{src}.attn.qkv", f"{dst}/attn/qkv")
+            rules += _linear(f"{src}.attn.proj", f"{dst}/attn/proj")
+            rules += [(f"{src}.attn.relative_position_bias_table",
+                       f"params/{dst}/attn/relative_position_bias_table", "copy")]
+            rules += _ln(f"{src}.norm2", f"{dst}/norm2")
+            rules += _linear(f"{src}.mlp.0", f"{dst}/mlp_fc1")
+            rules += _linear(f"{src}.mlp.3", f"{dst}/mlp_fc2")
+    return rules
+
+
+def _focalnet_rules(
+    depths: Tuple[int, ...] = (2, 2, 18, 2),
+    focal_levels: Tuple[int, ...] = (4, 4, 4, 4),
+    return_indices: Tuple[int, ...] = (1, 2, 3),
+    use_layerscale: bool = True,
+    use_postln_in_modulation: bool = False,
+    prefix: str = "backbone.0",
+) -> List[Tuple[str, str, str]]:
+    """FocalNet (/root/reference/models/backbones/focalnet.py; wrapped as
+    nn.Sequential(fx, PostProcess) -> 'backbone.0.' + per-level norms at
+    'backbone.1.norm{idx}', focalnet.py:581-584)."""
+    rules = []
+    rules += _conv(f"{prefix}.patch_embed.proj", "backbone/patch_embed/proj")
+    rules += [(f"{prefix}.patch_embed.proj.bias",
+               "params/backbone/patch_embed/proj/bias", "copy")]
+    rules += _ln(f"{prefix}.patch_embed.norm", "backbone/patch_embed/norm")
+    for s in range(4):
+        for b in range(depths[s]):
+            src = f"{prefix}.layers.{s}.blocks.{b}"
+            dst = f"backbone/stage{s}_block{b}"
+            rules += _ln(f"{src}.norm1", f"{dst}/norm1")
+            rules += _linear(f"{src}.modulation.f", f"{dst}/modulation/f")
+            rules += _conv(f"{src}.modulation.h", f"{dst}/modulation/h")
+            rules += [(f"{src}.modulation.h.bias",
+                       f"params/{dst}/modulation/h/bias", "copy")]
+            for k in range(focal_levels[s]):
+                rules += _conv(f"{src}.modulation.focal_layers.{k}.0",
+                               f"{dst}/modulation/focal_layers_{k}")
+            if use_postln_in_modulation:
+                rules += _ln(f"{src}.modulation.ln", f"{dst}/modulation/ln")
+            rules += _linear(f"{src}.modulation.proj", f"{dst}/modulation/proj")
+            rules += _ln(f"{src}.norm2", f"{dst}/norm2")
+            rules += _linear(f"{src}.mlp.fc1", f"{dst}/mlp_fc1")
+            rules += _linear(f"{src}.mlp.fc2", f"{dst}/mlp_fc2")
+            if use_layerscale:
+                rules += [
+                    (f"{src}.gamma_1", f"params/{dst}/gamma_1", "copy"),
+                    (f"{src}.gamma_2", f"params/{dst}/gamma_2", "copy"),
+                ]
+        if s < 3:
+            rules += _conv(f"{prefix}.layers.{s}.downsample.proj",
+                           f"backbone/downsample{s}/proj")
+            rules += [(f"{prefix}.layers.{s}.downsample.proj.bias",
+                       f"params/backbone/downsample{s}/proj/bias", "copy")]
+            rules += _ln(f"{prefix}.layers.{s}.downsample.norm",
+                         f"backbone/downsample{s}/norm")
+    for idx in return_indices:
+        rules += _ln(f"backbone.1.norm{idx}", f"backbone/out_norm{idx}")
+    return rules
+
+
 def _conv_bn_act(src: str, dst: str):
     """repnet ConvBNAct: sequential 0=conv, 1=bn."""
     return _conv(f"{src}.0", f"{dst}/conv") + _bn(f"{src}.1", f"{dst}/bn")
@@ -146,15 +261,15 @@ def _repnet_rules(src: str, dst: str, num_levels: int = 4):
     return rules
 
 
-def salience_detr_r50_rules(
+def salience_detr_head_rules(
     num_encoder_layers: int = 6,
     num_decoder_layers: int = 6,
     num_levels: int = 4,
     num_channel_mapper_convs: int = 4,
-    resnet_layers: Tuple[int, ...] = (3, 4, 6, 3),
 ) -> List[Tuple[str, str, str]]:
-    """(torch_name, flax_path, transform) rules for the full R50 model."""
-    rules = _resnet_rules(resnet_layers)
+    """(torch_name, flax_path, transform) rules for everything above the
+    backbone: neck, transformer, heads, denoising."""
+    rules = []
 
     # ChannelMapper: convs.{i}.0 conv (no bias), convs.{i}.1 GroupNorm
     for i in range(num_channel_mapper_convs):
@@ -219,9 +334,55 @@ def salience_detr_r50_rules(
     return rules
 
 
+def salience_detr_r50_rules(
+    num_encoder_layers: int = 6,
+    num_decoder_layers: int = 6,
+    num_levels: int = 4,
+    num_channel_mapper_convs: int = 4,
+    resnet_layers: Tuple[int, ...] = (3, 4, 6, 3),
+) -> List[Tuple[str, str, str]]:
+    """Full-model rules for the R50 flagship config."""
+    return _resnet_rules(resnet_layers) + salience_detr_head_rules(
+        num_encoder_layers, num_decoder_layers, num_levels, num_channel_mapper_convs
+    )
+
+
+def salience_detr_rules(backbone: str = "resnet50", **head_kw) -> List[Tuple[str, str, str]]:
+    """Full-model rules for any shipped config's backbone family.
+
+    backbone: resnet50 | conv_l (ConvNeXt-L) | swin_l | focalnet_large_lrf_fl4
+    (the archs used by /root/reference/configs/salience_detr/*.py)."""
+    if backbone.startswith("resnet"):
+        layers = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+                  "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
+                  "resnet152": (3, 8, 36, 3)}[backbone]
+        bottleneck = backbone not in ("resnet18", "resnet34")
+        bb = _resnet_rules(layers, bottleneck)
+    elif backbone.startswith("conv_"):
+        from salience_detr_tpu.models.backbones.convnext import ARCH_SETTINGS
+        bb = _convnext_rules(ARCH_SETTINGS[backbone]["depths"])
+    elif backbone.startswith("swin"):
+        from salience_detr_tpu.models.backbones.swin import ARCH_SETTINGS
+        bb = _swin_rules(ARCH_SETTINGS[backbone]["depths"])
+    elif backbone.startswith("focalnet"):
+        from salience_detr_tpu.models.backbones.focalnet import ARCH_SETTINGS
+        cfg = ARCH_SETTINGS[backbone]
+        bb = _focalnet_rules(
+            cfg["depths"], cfg["focal_levels"],
+            return_indices=(1, 2, 3),
+            use_layerscale=cfg["layerscale"],
+            use_postln_in_modulation=cfg.get("postln_in_mod", False),
+        )
+    else:
+        raise ValueError(f"no converter rules for backbone {backbone!r}")
+    return bb + salience_detr_head_rules(**head_kw)
+
+
 def _apply_transform(value: np.ndarray, kind: str) -> np.ndarray:
     if kind == "copy":
         return value
+    if kind == "flatten":
+        return value.reshape(-1)
     if kind == "conv":
         # torch OIHW (grouped: O, I/g, H, W) -> flax HWIO (H, W, I/g, O)
         return np.transpose(value, (2, 3, 1, 0))

@@ -1,20 +1,23 @@
-"""Converter coverage test: the torch->flax rule set must cover the FULL
-flagship parameter tree bidirectionally (uses eval_shape — no compute)."""
+"""Converter coverage tests: each backbone family's torch->flax rule set must
+cover the FULL model parameter tree bidirectionally (uses eval_shape — no
+compute).  Reference name spaces: /root/reference/models/backbones/{resnet,
+convnext,swin,focalnet}.py."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from salience_detr_tpu.models.bricks.criterion import Targets
 from salience_detr_tpu.models.factory import SalienceDETRConfig, build_salience_detr
 from salience_detr_tpu.utils.weight_converter import (
     flatten_variables,
     salience_detr_r50_rules,
+    salience_detr_rules,
 )
 
 
-def test_rules_cover_full_tree():
-    cfg = SalienceDETRConfig()
+def _tree_paths(cfg: SalienceDETRConfig):
     model, _, _, _ = build_salience_detr(cfg)
     B, H, W, M = 1, 64, 64, 4
     images = jnp.zeros((B, H, W, 3))
@@ -24,21 +27,41 @@ def test_rules_cover_full_tree():
     )
     shapes = jax.eval_shape(
         lambda: model.init(
-            {"params": jax.random.PRNGKey(0), "denoising": jax.random.PRNGKey(1)},
+            {
+                "params": jax.random.PRNGKey(0),
+                "denoising": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2),
+            },
             images, sizes, targets, train=True,
         )
     )
     flat = flatten_variables(
         jax.tree.map(lambda x: np.zeros(x.shape, np.float32), shapes)
     )
-    rules = salience_detr_r50_rules()
-    dsts = {dst for _, dst, _ in rules}
+    return set(flat.keys())
 
-    tree_paths = set(flat.keys())
+
+def _assert_bidirectional(tree_paths, rules):
+    dsts = {dst for _, dst, _ in rules}
     missing_in_rules = sorted(tree_paths - dsts)
     extra_in_rules = sorted(dsts - tree_paths)
     assert not missing_in_rules, f"params not covered by converter: {missing_in_rules[:20]}"
     assert not extra_in_rules, f"converter rules with no target param: {extra_in_rules[:20]}"
+    assert len(dsts) == len(rules)  # no duplicate destinations
 
-    # no duplicate destinations
-    assert len(dsts) == len(rules)
+
+def test_rules_cover_full_tree():
+    _assert_bidirectional(_tree_paths(SalienceDETRConfig()), salience_detr_r50_rules())
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "backbone", ["conv_l", "swin_l", "focalnet_large_lrf_fl4"]
+)
+def test_rules_cover_full_tree_large_backbones(backbone):
+    cfg = SalienceDETRConfig(backbone=backbone, backbone_return_indices=(1, 2, 3))
+    _assert_bidirectional(_tree_paths(cfg), salience_detr_rules(backbone))
+
+
+def test_r50_dispatch_matches_legacy():
+    assert salience_detr_rules("resnet50") == salience_detr_r50_rules()

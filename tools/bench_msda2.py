@@ -1,0 +1,358 @@
+"""Deformable-attention (shared-locations) variant shootout on the real chip.
+
+Round-2 perf levers for ms_deform_attn_core_shared
+(salience_detr_tpu/ops/deform_attn.py): round-1 measured the fused-gather
+einsum at ~18ms/hot-layer vs a 2-4ms memory floor (ROADMAP).
+
+Variants:
+  cur      current ms_deform_attn_core_shared (einsum reduce)
+  gsum     1-wide gather + plain item sum (bound incl. gather)
+  gq       quad gather + plain sum (bound for the quad layout)
+  mulsum   1-wide gather + broadcast-multiply-sum instead of einsum
+  quad     ONE gather per point from a (S, 4C) quad-row value layout
+           (4x fewer gather issues; exact bilinear via base clamping +
+           corner-weight reassignment) + mult-sum reduce
+  quad_pl  quad gather + Pallas streaming weighted-reduce kernel
+  flat_pl  1-wide gather + the same Pallas kernel (p-major grouping)
+
+Run on TPU: python tools/bench_msda2.py
+"""
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from salience_detr_tpu.utils.timing import device_time
+
+B = 4
+SHAPES = [(100, 168), (50, 84), (25, 42), (13, 21)]
+S = sum(h * w for h, w in SHAPES)
+C, H, P, L = 256, 8, 4, 4
+D = C // H
+rng = np.random.default_rng(0)
+
+
+def make_inputs(Q):
+    value = jnp.asarray(rng.normal(size=(B, S, C)).astype(np.float32), jnp.bfloat16)
+    locs = jnp.asarray(rng.uniform(0.02, 0.98, (B, Q, L, P, 2)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(size=(B, Q, H, L, P)).astype(np.float32))
+    w = w / w.sum(axis=(-2, -1), keepdims=True)
+    return value, locs, w
+
+
+from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_shared
+
+
+def corners_flat(locs):
+    """Per-corner flat indices + bilinear weights (current formulation).
+    returns idx (B,Q,L,4,P) int32, cw (B,Q,L,4,P) f32 — corner-major."""
+    idx_parts, w_parts = [], []
+    start = 0
+    for lvl, (h, w_) in enumerate(SHAPES):
+        loc = locs[:, :, lvl]
+        x = loc[..., 0] * w_ - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x); y0 = jnp.floor(y)
+        fx = x - x0; fy = y - y0
+        x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+        for dy, wy in ((0, 1 - fy), (1, fy)):
+            for dx, wx in ((0, 1 - fx), (1, fx)):
+                cx = x0i + dx; cy = y0i + dy
+                valid = (cx >= 0) & (cx < w_) & (cy >= 0) & (cy < h)
+                idx_parts.append(start + jnp.clip(cy, 0, h - 1) * w_ + jnp.clip(cx, 0, w_ - 1))
+                w_parts.append(jnp.where(valid, wx * wy, 0.0))
+        start += h * w_
+    return jnp.stack(idx_parts, 2), jnp.stack(w_parts, 2)
+
+
+def gsum(value, locs, w):
+    Q = locs.shape[1]
+    idx, cw = corners_flat(locs)
+    base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    g = jnp.take(value.reshape(B * S, C), (idx + base).reshape(-1), axis=0)
+    return g.reshape(B, Q, -1, C).astype(jnp.float32).sum(2)
+
+
+def mulsum(value, locs, w):
+    Q = locs.shape[1]
+    idx, cw = corners_flat(locs)  # (B,Q,L*4,P)
+    base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    g = jnp.take(value.reshape(B * S, C), (idx + base).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, 4, P, H, D)
+    wt = (
+        cw.reshape(B, Q, L, 4, P)[:, :, :, :, :, None]
+        * jnp.transpose(w, (0, 1, 3, 4, 2))[:, :, :, None]
+    ).astype(value.dtype)  # (B,Q,L,4,P,H)
+    out = (g * wt[..., None]).astype(jnp.float32).sum(axis=(2, 3, 4))
+    return out.reshape(B, Q, C)
+
+
+# ---------------------------------------------------------------- quad
+def build_quad(value):
+    """(B,S,C) -> (B,S,4C): row s holds [v[s], v[s+1], v[s+w_lvl], v[s+w_lvl+1]].
+    Shifts cross level boundaries harmlessly (those corners get zero weight)."""
+    right = jnp.roll(value, -1, axis=1)
+    segs = []
+    start = 0
+    for h, w_ in SHAPES:
+        seg = jax.lax.dynamic_slice_in_dim(value, start, h * w_, axis=1)
+        segs.append(jnp.roll(seg, -w_, axis=1))
+        start += h * w_
+    down = jnp.concatenate(segs, axis=1)
+    downright = jnp.roll(down, -1, axis=1)
+    return jnp.concatenate([value, right, down, downright], axis=-1)
+
+
+def quad_base_and_weights(locs, attn):
+    """Base flat index per point + per-corner-per-head weights.
+
+    Exact bilinear: base = clip((x0,y0)) into [0, wh-2] so the 2x2 quad is
+    always in-image; each quad corner's weight is re-derived from its TRUE
+    coordinate (handles all clip cases incl. zero-padding outside the image).
+
+    returns base (B,Q,L,P) int32, wt (B,Q,L,P,4,H) f32, corner order iy*2+jx.
+    """
+    bases, wts = [], []
+    start = 0
+    for lvl, (h, w_) in enumerate(SHAPES):
+        loc = locs[:, :, lvl]
+        x = loc[..., 0] * w_ - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x); y0 = jnp.floor(y)
+        fx = x - x0; fy = y - y0
+        x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+        bx = jnp.clip(x0i, 0, w_ - 2)
+        by = jnp.clip(y0i, 0, h - 2)
+        bases.append(start + by * w_ + bx)  # (B,Q,P)
+        cw = []
+        for i in (0, 1):
+            wy = jnp.where(by + i == y0i, 1 - fy, jnp.where(by + i == y0i + 1, fy, 0.0))
+            for j in (0, 1):
+                wx = jnp.where(bx + j == x0i, 1 - fx, jnp.where(bx + j == x0i + 1, fx, 0.0))
+                cw.append(wx * wy)
+        wts.append(jnp.stack(cw, -1))  # (B,Q,P,4)
+        start += h * w_
+    base = jnp.stack(bases, 2)  # (B,Q,L,P)
+    cw = jnp.stack(wts, 2)  # (B,Q,L,P,4)
+    wt = cw[..., None] * jnp.transpose(attn, (0, 1, 3, 4, 2))[:, :, :, :, None, :]
+    return base, wt  # (B,Q,L,P,4,H)
+
+
+def quad(value, locs, w):
+    Q = locs.shape[1]
+    vq = build_quad(value)  # (B,S,4C)
+    base, wt = quad_base_and_weights(locs, w)
+    off = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    g = jnp.take(vq.reshape(B * S, 4 * C), (base + off).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L * P, 4, H, D)
+    wt = wt.reshape(B, Q, L * P, 4, H).astype(value.dtype)
+    out = (g * wt[..., None]).astype(jnp.float32).sum(axis=(2, 3))
+    return out.reshape(B, Q, C)
+
+
+def gq(value, locs, w):
+    Q = locs.shape[1]
+    vq = build_quad(value)
+    base, wt = quad_base_and_weights(locs, w)
+    off = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    g = jnp.take(vq.reshape(B * S, 4 * C), (base + off).reshape(-1), axis=0)
+    return g.reshape(B, Q, L * P, 4 * C).astype(jnp.float32).sum(2)
+
+
+# ---------------------------------------------------------------- pallas reduce
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QT = 32  # query rows per kernel step
+INTERPRET = os.environ.get("PALLAS_INTERPRET", "0") == "1"
+
+
+def _reduce_kernel(g_ref, w_ref, e_ref, o_ref):
+    # g: (QT, I, K*C) bf16  — I items each of K sub-rows x C channels
+    # w: (QT, I, K*H) f32   — per item, per sub-row, per head weight
+    # e: (K*H, K*C) f32     — constant expansion: (k,h) -> lanes k*C+h*D..+D
+    # o: (QT, C) f32
+    qt, I, KC = g_ref.shape
+    KH = w_ref.shape[-1]
+    w2 = w_ref[:].reshape(qt * I, KH)
+    wb = jnp.dot(w2, e_ref[:], preferred_element_type=jnp.float32)  # (QT*I, K*C)
+    g2 = g_ref[:].reshape(qt * I, KC)
+    prod = g2.astype(jnp.float32) * wb
+    s = prod.reshape(qt, I, KC).sum(axis=1)  # (QT, K*C)
+    K = KC // C
+    acc = s[:, :C]
+    for k in range(1, K):
+        acc = acc + s[:, k * C : (k + 1) * C]
+    o_ref[:] = acc
+
+
+def _expansion(K):
+    """E (K*H, K*C): row k*H+h -> ones at lanes k*C + h*D + [0,D)."""
+    e = np.zeros((K * H, K * C), np.float32)
+    for k in range(K):
+        for h in range(H):
+            e[k * H + h, k * C + h * D : k * C + (h + 1) * D] = 1.0
+    return jnp.asarray(e)
+
+
+def pallas_reduce(g, wt, K):
+    """g (N, I, K*C) bf16, wt (N, I, K*H) f32 -> (N, C) f32.  N % QT == 0."""
+    N, I, KC = g.shape
+    return pl.pallas_call(
+        _reduce_kernel,
+        grid=(N // QT,),
+        in_specs=[
+            pl.BlockSpec((QT, I, KC), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT, I, K * H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * H, KC), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((QT, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, C), jnp.float32),
+        interpret=INTERPRET,
+    )(g, wt, _expansion(K))
+
+
+def _pad_rows(x, n_pad):
+    if n_pad == 0:
+        return x
+    return jnp.pad(x, ((0, n_pad),) + ((0, 0),) * (x.ndim - 1))
+
+
+def quad_pl(value, locs, w):
+    Q = locs.shape[1]
+    N = B * Q
+    n_pad = (-N) % QT
+    vq = build_quad(value)
+    base, wt = quad_base_and_weights(locs, w)
+    off = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    idx = _pad_rows((base + off).reshape(N, L * P), n_pad)
+    g = jnp.take(vq.reshape(B * S, 4 * C), idx.reshape(-1), axis=0)
+    g = g.reshape(N + n_pad, L * P, 4 * C)
+    wt = _pad_rows(wt.reshape(N, L * P, 4 * H), n_pad).astype(jnp.float32)
+    out = pallas_reduce(g, wt, 4)
+    return out[:N].reshape(B, Q, C)
+
+
+def flat_pl(value, locs, w):
+    Q = locs.shape[1]
+    N = B * Q
+    n_pad = (-N) % QT
+    idx, cw = corners_flat(locs)  # (B,Q,L*4,P) — items (l,corner), sub-rows p
+    base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    idx = _pad_rows((idx + base).reshape(N, L * 4 * P), n_pad)
+    g = jnp.take(value.reshape(B * S, C), idx.reshape(-1), axis=0)
+    g = g.reshape(N + n_pad, L * 4, P * C)  # I = L*4 items, K = P sub-rows
+    # weights per (item=l*4+c, sub-row=p, head): cw * attn
+    wt = cw.reshape(B, Q, L * 4, P)[..., None] * jnp.repeat(
+        jnp.transpose(w, (0, 1, 3, 4, 2)), 4, axis=2
+    ).reshape(B, Q, L * 4, P, H)
+    wt = _pad_rows(wt.reshape(N, L * 4, P * H), n_pad).astype(jnp.float32)
+    out = pallas_reduce(g, wt, P)
+    return out[:N].reshape(B, Q, C)
+
+
+def two_stage(value, locs, w):
+    """Stage 1: corner-bilinear reduce with PER-ROW SCALAR weights (XLA can
+    fuse this into the gather like the plain sum — no (B,Q,I,C) patch tensor
+    in HBM).  Stage 2: small per-head attention reduce on (B,Q,L,P,C)."""
+    Q = locs.shape[1]
+    idx, cw = corners_flat(locs)  # (B,Q,L*4,P)
+    base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    g = jnp.take(value.reshape(B * S, C), (idx + base).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, 4, P, C).astype(jnp.float32)
+    cw = cw.reshape(B, Q, L, 4, P)
+    sampled = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw, g)  # (B,Q,L,P,C)
+    sampled = sampled.reshape(B, Q, L, P, H, D)
+    attn = w  # (B,Q,H,L,P)
+    out = jnp.einsum("bqhlp,bqlphd->bqhd", attn, sampled)
+    return out.reshape(B, Q, C)
+
+
+def two_stage_quad(value, locs, w):
+    """Quad gather (1 issue/point) + scalar-weighted corner reduce + per-head."""
+    Q = locs.shape[1]
+    vq = build_quad(value)
+    base, wt = quad_base_and_weights(locs, w)  # wt (B,Q,L,P,4,H)
+    # recover the corner-only scalar weights: wt = cw[...,None]*attn; instead
+    # rebuild cw directly (cheap) to keep stage-1 weights per-row scalars
+    off = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    g = jnp.take(vq.reshape(B * S, 4 * C), (base + off).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, P, 4, C).astype(jnp.float32)
+    cw = _quad_corner_weights(locs)  # (B,Q,L,P,4)
+    sampled = jnp.einsum("bqlpc,bqlpce->bqlpe", cw, g)  # (B,Q,L,P,C)
+    sampled = sampled.reshape(B, Q, L, P, H, D)
+    out = jnp.einsum("bqhlp,bqlphd->bqhd", w, sampled)
+    return out.reshape(B, Q, C)
+
+
+def _quad_corner_weights(locs):
+    wts = []
+    for lvl, (h, w_) in enumerate(SHAPES):
+        loc = locs[:, :, lvl]
+        x = loc[..., 0] * w_ - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x); y0 = jnp.floor(y)
+        fx = x - x0; fy = y - y0
+        x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+        bx = jnp.clip(x0i, 0, w_ - 2)
+        by = jnp.clip(y0i, 0, h - 2)
+        cw = []
+        for i in (0, 1):
+            wy = jnp.where(by + i == y0i, 1 - fy, jnp.where(by + i == y0i + 1, fy, 0.0))
+            for j in (0, 1):
+                wx = jnp.where(bx + j == x0i, 1 - fx, jnp.where(bx + j == x0i + 1, fx, 0.0))
+                cw.append(wx * wy)
+        wts.append(jnp.stack(cw, -1))  # (B,Q,P,4)
+    return jnp.stack(wts, 2)  # (B,Q,L,P,4)
+
+
+def check(fn, Q=256):
+    value, locs, w = make_inputs(Q)
+    ref = ms_deform_attn_core_shared(value, SHAPES, locs, w, H)
+    got = fn(value, locs, w)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=0.05, atol=0.02
+    )
+
+
+def main():
+    for name, fn in [
+        ("quad", quad),
+        ("quad_pl", quad_pl),
+        ("flat_pl", flat_pl),
+        ("mulsum", mulsum),
+        ("two_stage", two_stage),
+        ("two_stage_quad", two_stage_quad),
+    ]:
+        try:
+            check(fn)
+            print(f"{name}: numerics OK", flush=True)
+        except Exception as e:
+            print(f"{name}: CHECK FAILED: {type(e).__name__} {str(e)[:400]}", flush=True)
+
+    for Q in (11403, 2281):
+        value, locs, w = make_inputs(Q)
+        print(f"--- Q={Q}", flush=True)
+        for name, fn in [
+            ("cur    ", lambda v, l, w_: ms_deform_attn_core_shared(v, SHAPES, l, w_, H)),
+            ("gsum   ", gsum),
+            ("gq     ", gq),
+            ("mulsum ", mulsum),
+            ("quad   ", quad),
+            ("quad_pl", quad_pl),
+            ("flat_pl", flat_pl),
+            ("two_stage     ", two_stage),
+            ("two_stage_quad", two_stage_quad),
+        ]:
+            try:
+                t = device_time(lambda l: fn(value, l, w), (locs,), iters=5)
+                print(f"  {name}: {t * 1e3:8.2f} ms", flush=True)
+            except Exception as e:
+                print(f"  {name}: FAILED {type(e).__name__} {str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
