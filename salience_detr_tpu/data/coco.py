@@ -48,7 +48,21 @@ class CocoIndex:
         return self.img_to_anns.get(img_id, [])
 
 
-def _prepare_target(img_h: int, img_w: int, anns: List[dict]) -> Dict[str, np.ndarray]:
+def _rasterize_mask(img_h: int, img_w: int, segmentation) -> np.ndarray:
+    """COCO polygon segmentation -> bool mask (ConvertCocoPolysToMask's mask
+    path, /root/reference/transforms/convert_coco_polys_to_mask.py — polygon
+    variant only; RLE is crowd-only and crowds are filtered)."""
+    mask = np.zeros((img_h, img_w), np.uint8)
+    if isinstance(segmentation, list):
+        for poly in segmentation:
+            pts = np.asarray(poly, np.float64).reshape(-1, 2)
+            cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+    return mask.astype(bool)
+
+
+def _prepare_target(
+    img_h: int, img_w: int, anns: List[dict], return_masks: bool = False
+) -> Dict[str, np.ndarray]:
     """COCO anns -> clamped xyxy boxes + labels, dropping degenerate boxes and
     crowd annotations (ConvertCocoPolysToMask semantics)."""
     anns = [a for a in anns if a.get("iscrowd", 0) == 0]
@@ -60,11 +74,17 @@ def _prepare_target(img_h: int, img_w: int, anns: List[dict]) -> Dict[str, np.nd
     labels = np.asarray([a["category_id"] for a in anns], np.int64)
     area = np.asarray([a.get("area", 0.0) for a in anns], np.float32)
     keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
-    return {
+    out = {
         "boxes": boxes[keep],
         "labels": labels[keep],
         "area": area[keep],
     }
+    if return_masks:
+        masks = np.stack(
+            [_rasterize_mask(img_h, img_w, a.get("segmentation", [])) for a in anns]
+        ) if anns else np.zeros((0, img_h, img_w), bool)
+        out["masks"] = masks[keep]
+    return out
 
 
 class CocoDetection:
@@ -76,11 +96,13 @@ class CocoDetection:
         ann_file: str,
         transforms: Optional[Callable] = None,
         train: bool = False,
+        return_masks: bool = False,
     ):
         self.img_folder = img_folder
         self.coco = CocoIndex(ann_file)
         self.transforms = transforms
         self.train = train
+        self.return_masks = return_masks
         # let Mosaic/MixUp-style transforms fetch extra samples (the
         # reference's update_dataset hook, datasets/coco.py:31-40)
         self._wire_dataset(transforms)
@@ -116,14 +138,19 @@ class CocoDetection:
         img = cv2.imdecode(buf, cv2.IMREAD_COLOR)  # BGR
         return np.ascontiguousarray(img[:, :, ::-1])  # RGB
 
+    def _image_file_name(self, info: dict) -> str:
+        return info["file_name"]
+
     def get_raw(self, idx: int):
         """Sample without transforms (thread-safe; used by mix transforms)."""
         img_id = self.ids[idx]
         info = self.coco.imgs[img_id]
-        image = self._load_image(info["file_name"])
+        image = self._load_image(self._image_file_name(info))
         h, w = image.shape[:2]
-        target = _prepare_target(h, w, self.coco.annotations(img_id))
-        return {
+        target = _prepare_target(
+            h, w, self.coco.annotations(img_id), return_masks=self.return_masks
+        )
+        sample = {
             "image": image,
             "boxes": target["boxes"],
             "labels": target["labels"],
@@ -131,6 +158,9 @@ class CocoDetection:
             "image_id": img_id,
             "orig_size": np.asarray([h, w], np.int32),
         }
+        if self.return_masks:
+            sample["masks"] = target["masks"]
+        return sample
 
     def get_with_rng(self, idx: int, rng: random.Random):
         """Deterministic variant: augmentation randomness comes from the
@@ -162,10 +192,28 @@ class Object365Detection(CocoDetection):
     """Objects365 variant: path remapping + corrupt-image retry
     (/root/reference/datasets/coco.py:136-161)."""
 
+    def _image_file_name(self, info: dict) -> str:
+        # keep only the last two path components, then root under
+        # images/{train,val} (reference datasets/coco.py:140-147)
+        name = info["file_name"]
+        parts = name.replace("\\", "/").split("/")
+        name = "/".join(parts[-2:]) if len(parts) >= 2 else parts[-1]
+        split = "images/train" if self.train else "images/val"
+        return os.path.join(split, name)
+
     def __getitem__(self, idx: int):
         for attempt in range(16):
             try:
                 return super().__getitem__((idx + attempt) % len(self))
+            except Exception:
+                continue
+        raise RuntimeError(f"could not load any image near index {idx}")
+
+    def get_with_rng(self, idx: int, rng: random.Random):
+        # the loader path must also skip corrupt images (coco.py:153-158)
+        for attempt in range(16):
+            try:
+                return super().get_with_rng((idx + attempt) % len(self), rng)
             except Exception:
                 continue
         raise RuntimeError(f"could not load any image near index {idx}")

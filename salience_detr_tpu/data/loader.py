@@ -102,7 +102,12 @@ class DetectionLoader:
         drop_last: bool = True,
         eval_min_size: Optional[int] = None,
         eval_max_size: Optional[int] = None,
+        batch_transform: Optional[callable] = None,
     ):
+        """``batch_transform(samples, rng) -> samples`` runs on each pooled
+        batch before packing — the reference's copypaste_collate_fn slot
+        (/root/reference/util/collate_fn.py:12); pass
+        ``transforms.simple_copy_paste`` to enable SimpleCopyPaste."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.canvas_land = (min(canvas_hw), max(canvas_hw))
@@ -115,6 +120,15 @@ class DetectionLoader:
         self.drop_last = drop_last
         self.eval_min_size = eval_min_size
         self.eval_max_size = eval_max_size
+        self.batch_transform = batch_transform
+
+    def _pack(self, pool, canvas, batch_idx: int):
+        if self.batch_transform is not None:
+            rng = random.Random(
+                (self.seed * 7_368_787 + self.epoch) * 7_368_787 + batch_idx
+            )
+            pool = self.batch_transform(list(pool), rng)
+        return pack_batch(pool, canvas, self.max_gt)
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -156,13 +170,15 @@ class DetectionLoader:
             self.canvas_land: [],
             self.canvas_port: [],
         }
+        batch_idx = 0
         with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
             for s in ex.map(self._prepare, order):
                 canvas = self._canvas_for(s)
                 pool = pools[canvas]
                 pool.append(s)
                 if len(pool) == self.batch_size:
-                    yield pack_batch(pool, canvas, self.max_gt)
+                    yield self._pack(pool, canvas, batch_idx)
+                    batch_idx += 1
                     pool.clear()
         if not self.drop_last:
             for canvas, pool in pools.items():
@@ -170,7 +186,8 @@ class DetectionLoader:
                     # top up with duplicates to keep shapes static
                     while len(pool) < self.batch_size:
                         pool.append(pool[-1])
-                    yield pack_batch(pool, canvas, self.max_gt)
+                    yield self._pack(pool, canvas, batch_idx)
+                    batch_idx += 1
 
 
 class DevicePrefetcher:

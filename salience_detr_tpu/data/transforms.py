@@ -83,7 +83,12 @@ def crop(sample: Sample, top: int, left: int, height: int, width: int) -> Sample
     boxes[:, [1, 3]] -= top
     boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, width)
     boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, height)
-    return {**sample, "image": np.ascontiguousarray(img), "boxes": boxes}
+    out = {**sample, "image": np.ascontiguousarray(img), "boxes": boxes}
+    if "masks" in sample and len(sample["masks"]):
+        out["masks"] = np.ascontiguousarray(
+            sample["masks"][:, top : top + height, left : left + width]
+        )
+    return out
 
 
 def sanitize(sample: Sample, min_size: float = 1.0) -> Sample:
@@ -91,7 +96,7 @@ def sanitize(sample: Sample, min_size: float = 1.0) -> Sample:
     b = sample["boxes"]
     keep = (b[:, 2] - b[:, 0] >= min_size) & (b[:, 3] - b[:, 1] >= min_size)
     out = {**sample, "boxes": b[keep], "labels": sample["labels"][keep]}
-    for k in ("iscrowd", "area"):
+    for k in ("iscrowd", "area", "masks"):
         if k in sample and len(sample[k]) == len(b):
             out[k] = sample[k][keep]
         else:
@@ -321,6 +326,287 @@ class RandomZoomOut:
         return {**sample, "image": canvas, "boxes": boxes}
 
 
+class RandomVerticalFlip:
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        return vflip(sample) if rng.random() < self.p else sample
+
+
+class RandomIoUCrop:
+    """torchvision v2 RandomIoUCrop (used by the ssd/ssdlite/rtdetr presets,
+    /root/reference/transforms/presets.py:85,95,166): sample a min-IoU option,
+    then up to ``trials`` random crops; accept when at least one box center is
+    inside and the max box-vs-crop IoU clears the option; keep center-inside
+    boxes, clamped."""
+
+    OPTIONS = [0.0, 0.1, 0.3, 0.5, 0.7, 0.9, None]
+
+    def __init__(self, min_scale=0.3, max_scale=1.0, min_aspect=0.5,
+                 max_aspect=2.0, trials: int = 40):
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+        self.min_aspect = min_aspect
+        self.max_aspect = max_aspect
+        self.trials = trials
+
+    def __call__(self, sample, rng: random.Random):
+        min_iou = rng.choice(self.OPTIONS)
+        if min_iou is None or len(sample["boxes"]) == 0:
+            return sample
+        h, w = sample["image"].shape[:2]
+        boxes = sample["boxes"]
+        for _ in range(self.trials):
+            cw = int(w * rng.uniform(self.min_scale, self.max_scale))
+            ch = int(h * rng.uniform(self.min_scale, self.max_scale))
+            if cw < 1 or ch < 1:
+                continue
+            aspect = cw / ch
+            if not (self.min_aspect <= aspect <= self.max_aspect):
+                continue
+            left = rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            cx = (boxes[:, 0] + boxes[:, 2]) / 2
+            cy = (boxes[:, 1] + boxes[:, 3]) / 2
+            inside = (cx > left) & (cx < left + cw) & (cy > top) & (cy < top + ch)
+            if not inside.any():
+                continue
+            # IoU of candidate crop vs the inside boxes
+            bx = boxes[inside]
+            ix1 = np.maximum(bx[:, 0], left)
+            iy1 = np.maximum(bx[:, 1], top)
+            ix2 = np.minimum(bx[:, 2], left + cw)
+            iy2 = np.minimum(bx[:, 3], top + ch)
+            inter = (ix2 - ix1).clip(0) * (iy2 - iy1).clip(0)
+            area_b = (bx[:, 2] - bx[:, 0]) * (bx[:, 3] - bx[:, 1])
+            iou = inter / (area_b + cw * ch - inter + 1e-9)
+            if iou.max() < min_iou:
+                continue
+            kept = {
+                **sample,
+                "boxes": boxes[inside],
+                "labels": sample["labels"][inside],
+            }
+            for k in ("iscrowd", "area", "masks"):
+                if k in sample and len(sample[k]) == len(boxes):
+                    kept[k] = sample[k][inside]
+            return crop(kept, top, left, ch, cw)
+        return sample
+
+
+# ------------------------------------------------- albumentations-style ops
+# numpy re-implementations of the ops the reference wires through its
+# albumentations wrapper (/root/reference/transforms/album_transform.py:13-203,
+# presets.py strong_album :98-161); image-only, box-preserving except Shift.
+
+
+class RandomShift:
+    """A.ShiftScaleRotate(shift_limit, scale_limit=0, rotate_limit=0) — pure
+    translation with constant-0 border."""
+
+    def __init__(self, shift_limit: float = 0.0625, p: float = 0.5):
+        self.shift_limit = shift_limit
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        if rng.random() >= self.p:
+            return sample
+        h, w = sample["image"].shape[:2]
+        tx = int(round(rng.uniform(-self.shift_limit, self.shift_limit) * w))
+        ty = int(round(rng.uniform(-self.shift_limit, self.shift_limit) * h))
+        img = np.zeros_like(sample["image"])
+        src = sample["image"]
+        x0s, x1s = max(0, -tx), min(w, w - tx)
+        y0s, y1s = max(0, -ty), min(h, h - ty)
+        img[y0s + ty : y1s + ty, x0s + tx : x1s + tx] = src[y0s:y1s, x0s:x1s]
+        boxes = sample["boxes"] + np.asarray([tx, ty, tx, ty], np.float32)
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+        return {**sample, "image": img, "boxes": boxes}
+
+
+class RandomBrightnessContrast:
+    """A.RandomBrightnessContrast(brightness_limit=(0.1,0.3),
+    contrast_limit=(0.1,0.3)) — img*alpha + beta*255."""
+
+    def __init__(self, brightness_limit=(0.1, 0.3), contrast_limit=(0.1, 0.3),
+                 p: float = 0.2):
+        self.brightness = brightness_limit
+        self.contrast = contrast_limit
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        if rng.random() >= self.p:
+            return sample
+        alpha = 1.0 + rng.uniform(*self.contrast)
+        beta = rng.uniform(*self.brightness)
+        img = sample["image"].astype(np.float32) * alpha + beta * 255.0
+        return {**sample, "image": img.clip(0, 255).astype(np.uint8)}
+
+
+class RandomRGBShift:
+    def __init__(self, limit: int = 10, p: float = 1.0):
+        self.limit = limit
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        if rng.random() >= self.p:
+            return sample
+        shift = np.asarray(
+            [rng.uniform(-self.limit, self.limit) for _ in range(3)], np.float32
+        )
+        img = sample["image"].astype(np.float32) + shift
+        return {**sample, "image": img.clip(0, 255).astype(np.uint8)}
+
+
+class RandomHSV:
+    """A.HueSaturationValue(20, 30, 20)."""
+
+    def __init__(self, hue: int = 20, sat: int = 30, val: int = 20, p: float = 1.0):
+        self.hue, self.sat, self.val = hue, sat, val
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        if rng.random() >= self.p:
+            return sample
+        hsv = cv2.cvtColor(sample["image"], cv2.COLOR_RGB2HSV).astype(np.int32)
+        hsv[..., 0] = (hsv[..., 0] + int(rng.uniform(-self.hue, self.hue))) % 180
+        hsv[..., 1] = (hsv[..., 1] + int(rng.uniform(-self.sat, self.sat))).clip(0, 255)
+        hsv[..., 2] = (hsv[..., 2] + int(rng.uniform(-self.val, self.val))).clip(0, 255)
+        img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        return {**sample, "image": img}
+
+
+class RandomJPEG:
+    """A.ImageCompression(quality 85-95)."""
+
+    def __init__(self, quality=(85, 95), p: float = 0.2):
+        self.quality = quality
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        if rng.random() >= self.p:
+            return sample
+        q = rng.randint(*self.quality)
+        ok, buf = cv2.imencode(
+            ".jpg", sample["image"][:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, q]
+        )
+        if not ok:
+            return sample
+        img = cv2.imdecode(buf, cv2.IMREAD_COLOR)[:, :, ::-1]
+        return {**sample, "image": np.ascontiguousarray(img)}
+
+
+class RandomChannelShuffle:
+    def __init__(self, p: float = 0.1):
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        if rng.random() >= self.p:
+            return sample
+        perm = [0, 1, 2]
+        rng.shuffle(perm)
+        return {**sample, "image": np.ascontiguousarray(sample["image"][:, :, perm])}
+
+
+class RandomBlur:
+    """A.OneOf([Blur(3), MedianBlur(3)])."""
+
+    def __init__(self, p: float = 0.1):
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        if rng.random() >= self.p:
+            return sample
+        if rng.random() < 0.5:
+            img = cv2.blur(sample["image"], (3, 3))
+        else:
+            img = cv2.medianBlur(sample["image"], 3)
+        return {**sample, "image": img}
+
+
+class OneOf:
+    """Apply exactly one of the given transforms (albumentations A.OneOf)."""
+
+    def __init__(self, transforms: Sequence[Callable], p: float = 1.0):
+        self.transforms = list(transforms)
+        self.p = p
+
+    def __call__(self, sample, rng: random.Random):
+        if rng.random() >= self.p:
+            return sample
+        return rng.choice(self.transforms)(sample, rng)
+
+
+# ------------------------------------------------------------ copy-paste
+
+
+def simple_copy_paste(samples: List[Sample], rng: random.Random) -> List[Sample]:
+    """Batch-level SimpleCopyPaste (/root/reference/transforms/
+    simple_copy_paste.py:8-170 + copypaste_collate_fn util/collate_fn.py:12):
+    each image receives a random selection of the NEXT image's instances,
+    masked by the union of their (blurred) masks.  Requires samples loaded
+    with masks (CocoDetection(return_masks=True))."""
+    rolled = samples[-1:] + samples[:-1]
+    out = []
+    for target, paste in zip(samples, rolled):
+        out.append(_copy_paste_one(target, paste, rng))
+    return out
+
+
+def _copy_paste_one(sample: Sample, paste: Sample, rng: random.Random) -> Sample:
+    if "masks" not in paste or len(paste["masks"]) == 0 or "masks" not in sample:
+        return sample
+    n = len(paste["masks"])
+    sel = sorted(set(rng.randrange(n) for _ in range(n)))  # randint-with-dup + unique
+    p_masks = paste["masks"][sel]
+    p_boxes = paste["boxes"][sel]
+    p_labels = paste["labels"][sel]
+
+    h, w = sample["image"].shape[:2]
+    ph, pw = paste["image"].shape[:2]
+    p_img = paste["image"]
+    if (ph, pw) != (h, w):
+        p_img = cv2.resize(p_img, (w, h), interpolation=cv2.INTER_LINEAR)
+        m = p_masks.transpose(1, 2, 0).astype(np.uint8)
+        m = cv2.resize(m, (w, h), interpolation=cv2.INTER_NEAREST)
+        if m.ndim == 2:
+            m = m[:, :, None]
+        p_masks = m.transpose(2, 0, 1)
+        ratios = np.asarray([w / pw, h / ph, w / pw, h / ph], np.float32)
+        p_boxes = p_boxes * ratios
+
+    alpha = (p_masks.sum(0) > 0).astype(np.float32)
+    # blending: gaussian blur of the alpha mask (simple_copy_paste.py:56-62)
+    alpha = cv2.GaussianBlur(alpha, (5, 5), 2.0)
+
+    img = (
+        sample["image"].astype(np.float32) * (1.0 - alpha[..., None])
+        + p_img.astype(np.float32) * alpha[..., None]
+    )
+
+    masks = sample["masks"].astype(np.float32) * (1.0 - alpha[None])
+    masks = masks > 0.5
+    keep = masks.sum((-1, -2)) > 0
+    masks = masks[keep]
+
+    # recompute boxes of surviving target instances from their masks
+    boxes = np.zeros((len(masks), 4), np.float32)
+    for i, m in enumerate(masks):
+        ys, xs = np.nonzero(m)
+        boxes[i] = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+
+    out = {
+        **{k: v for k, v in sample.items() if k not in ("area", "iscrowd")},
+        "image": img.clip(0, 255).astype(np.uint8),
+        "masks": np.concatenate([masks, p_masks.astype(bool)]) if len(masks) or len(p_masks) else masks,
+        "boxes": np.concatenate([boxes, p_boxes]).astype(np.float32),
+        "labels": np.concatenate([sample["labels"][keep], p_labels]),
+    }
+    return sanitize(out)
+
+
 # ------------------------------------------------------------------ presets
 
 basic = Compose([])
@@ -351,7 +637,54 @@ lsj = Compose([
 ssd = Compose([
     RandomPhotometricDistort(),
     RandomZoomOut(),
+    RandomIoUCrop(),
     RandomHorizontalFlip(0.5),
+    Sanitize(),
+])
+
+ssdlite = Compose([
+    RandomIoUCrop(),
+    RandomHorizontalFlip(0.5),
+    Sanitize(),
+])
+
+strong_album = Compose([
+    RandomHorizontalFlip(0.5),
+    RandomChoice([
+        RandomShortestSize(SCALES, 1333),
+        Compose([
+            RandomShortestSize([400, 500, 600]),
+            RandomSizeCrop(384, 600),
+            RandomShortestSize(SCALES, 1333),
+        ]),
+    ]),
+    # the reference's albumentations block (presets.py:98-161)
+    RandomShift(0.0625, p=0.5),
+    RandomBrightnessContrast(p=0.2),
+    OneOf([RandomRGBShift(10), RandomHSV(20, 30, 20)], p=1.0),
+    RandomJPEG((85, 95), p=0.2),
+    RandomChannelShuffle(p=0.1),
+    RandomBlur(p=0.1),
+    RandomHorizontalFlip(0.5),
+    RandomVerticalFlip(0.5),
+    Sanitize(),
+])
+
+
+class _Resize:
+    def __init__(self, size_hw):
+        self.size = size_hw
+
+    def __call__(self, sample, rng: random.Random):
+        return resize(sample, self.size)
+
+
+rtdetr = Compose([
+    RandomPhotometricDistort(p=0.8),
+    RandomZoomOut(fill=(0, 0, 0), p=0.5),
+    RandomIoUCrop(),
+    RandomHorizontalFlip(0.5),
+    _Resize((640, 640)),
     Sanitize(),
 ])
 
@@ -383,6 +716,9 @@ PRESETS = {
     "detr": detr,
     "lsj": lsj,
     "ssd": ssd,
+    "ssdlite": ssdlite,
+    "strong_album": strong_album,
+    "rtdetr": rtdetr,
     "mosaic": mosaic,
     "mixup": mixup_detr,
 }

@@ -125,6 +125,11 @@ def make_train_step(
             # unrolled micro-batches; each normalized by its own num_boxes,
             # gradients averaged (accelerator.accumulate semantics)
             A = accumulate_steps
+            if batch["images"].shape[0] % A != 0:
+                raise ValueError(
+                    f"batch size {batch['images'].shape[0]} is not divisible "
+                    f"by --accumulate-steps {A}"
+                )
             mbs = batch["images"].shape[0] // A
             rngs = jax.random.split(rng, A)
             grads = total = losses = None

@@ -32,6 +32,39 @@ METRIC_NAMES = [
 ]
 
 
+def _default_all_gather():
+    """Multi-host object all-gather via jax multihost_utils, or None when
+    single-process (the common case — no jax import cost on that path
+    matters; jax is already loaded by the caller)."""
+    try:
+        import pickle
+
+        import jax
+
+        if jax.process_count() <= 1:
+            return None
+        from jax.experimental import multihost_utils
+        import numpy as _np
+
+        def gather(obj):
+            payload = _np.frombuffer(pickle.dumps(obj), _np.uint8)
+            # pad to the global max length so all_gather shapes agree
+            n = _np.asarray([payload.size], _np.int32)
+            sizes = multihost_utils.process_allgather(n).reshape(-1)
+            maxn = int(sizes.max())
+            padded = _np.zeros((maxn,), _np.uint8)
+            padded[: payload.size] = payload
+            gathered = multihost_utils.process_allgather(padded)
+            return [
+                pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+                for i in range(gathered.shape[0])
+            ]
+
+        return gather
+    except Exception:
+        return None
+
+
 def box_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
     """IoU matrix between xywh detections (D,4) and gts (G,4); crowd gts use
     intersection-over-detection-area."""
@@ -88,10 +121,17 @@ class CocoEvaluator:
 
     def synchronize_between_processes(self, all_gather_fn=None):
         """Merge predictions across hosts (the reference pickles through NCCL,
-        /root/reference/util/coco_eval.py:46-51; here the caller supplies a
-        process_allgather-style function)."""
+        /root/reference/util/coco_eval.py:46-51).
+
+        Default: when running multi-host (jax.process_count() > 1), gather via
+        ``multihost_utils.process_allgather`` on the byte-serialized prediction
+        dicts — the GSPMD-world equivalent of the reference's pickle
+        all_gather.  A custom ``all_gather_fn(obj) -> list[obj]`` overrides
+        (used by tests)."""
         if all_gather_fn is None:
-            return
+            all_gather_fn = _default_all_gather()
+            if all_gather_fn is None:
+                return
         merged = all_gather_fn(self.predictions)
         out = {}
         for d in merged:

@@ -26,17 +26,23 @@ def _tree_scalar(tree) -> jnp.ndarray:
 def device_time(fn: Callable, args: Sequence, iters: int = 10, warmup: bool = True) -> float:
     """Average seconds per call of fn(*args), measured on device."""
 
+    # Perturb the SMALLEST floating arg: the perturbation materializes a copy
+    # of that arg every iteration, so applying it to a large array would
+    # inflate the measurement by a full read+write of it per call.
+    float_idx = [
+        i for i, a in enumerate(args)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+    ]
+    target = (
+        min(float_idx, key=lambda i: args[i].size * args[i].dtype.itemsize)
+        if float_idx else None
+    )
+
     def perturb(args, carry):
         out = []
-        done = False
-        for a in args:
-            if (
-                not done
-                and hasattr(a, "dtype")
-                and jnp.issubdtype(a.dtype, jnp.floating)
-            ):
+        for i, a in enumerate(args):
+            if i == target:
                 out.append(a + (carry * 1e-30).astype(a.dtype))
-                done = True
             else:
                 out.append(a)
         return tuple(out)

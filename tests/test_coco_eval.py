@@ -151,3 +151,48 @@ class TestCocoEval:
         ev.accumulate()
         table = ev.per_category_table()
         assert "cat" in table and "1.000" in table
+
+
+class TestMultiHostMerge:
+    def test_fake_two_process_gather(self, tmp_path):
+        """synchronize_between_processes must union predictions from all
+        hosts (reference pickle all_gather, util/coco_eval.py:46-51,152-171)."""
+        idx = make_index(
+            tmp_path,
+            [{"id": i, "width": 100, "height": 100, "file_name": f"{i}.jpg"}
+             for i in (1, 2)],
+            [ann(1, 1, 1, 10, 10, 40, 40), ann(2, 2, 1, 50, 50, 20, 20)],
+            [{"id": 1, "name": "cat"}],
+        )
+        pred1 = {1: {"boxes": np.array([[10, 10, 50, 50]], float),
+                     "scores": np.array([0.9]), "labels": np.array([1])}}
+        pred2 = {2: {"boxes": np.array([[50, 50, 70, 70]], float),
+                     "scores": np.array([0.8]), "labels": np.array([1])}}
+
+        # rank-0 evaluator only saw image 1; the fake gather adds rank 1's
+        ev = CocoEvaluator(idx)
+        ev.update(pred1)
+        other = CocoEvaluator(idx)
+        other.update(pred2)
+
+        def fake_gather(obj):
+            return [obj, other.predictions]
+
+        ev.synchronize_between_processes(all_gather_fn=fake_gather)
+        assert set(ev.predictions) == {1, 2}
+        ev.accumulate()
+        s = ev.summarize()
+        assert s["AP"] == pytest.approx(1.0)
+
+    def test_single_process_default_is_noop(self, tmp_path):
+        idx = make_index(
+            tmp_path,
+            [{"id": 1, "width": 100, "height": 100, "file_name": "a.jpg"}],
+            [ann(1, 1, 1, 10, 10, 40, 40)],
+            [{"id": 1, "name": "cat"}],
+        )
+        ev = CocoEvaluator(idx)
+        ev.update({1: {"boxes": np.array([[10, 10, 50, 50]], float),
+                       "scores": np.array([0.9]), "labels": np.array([1])}})
+        ev.synchronize_between_processes()  # jax.process_count()==1 -> no-op
+        assert set(ev.predictions) == {1}

@@ -212,3 +212,171 @@ class TestCocoDataset:
             assert b["images"].shape[0] == 2
             assert b["images"].shape[1:] in ((96, 144, 3), (144, 96, 3))
             assert b["boxes"].shape[1] == 8
+
+
+def sample_with_masks(h=100, w=160, n=3, seed=0):
+    s = sample(h, w, n, seed)
+    masks = np.zeros((n, h, w), bool)
+    for i, b in enumerate(s["boxes"]):
+        x0, y0, x1, y1 = (int(round(v)) for v in b)
+        masks[i, y0:y1, x0:x1] = True
+    s["masks"] = masks
+    return s
+
+
+class TestNewTransforms:
+    def test_vflip_involution(self):
+        s = sample_with_masks()
+        out = T.vflip(T.vflip(s))
+        np.testing.assert_array_equal(out["image"], s["image"])
+        np.testing.assert_allclose(out["boxes"], s["boxes"], atol=1e-5)
+        np.testing.assert_array_equal(out["masks"], s["masks"])
+
+    def test_vflip_boxes(self):
+        s = sample(h=100)
+        out = T.vflip(s)
+        np.testing.assert_allclose(out["boxes"][:, 1], 100 - s["boxes"][:, 3])
+        np.testing.assert_allclose(out["boxes"][:, 3], 100 - s["boxes"][:, 1])
+
+    def test_masks_follow_geometry(self):
+        s = sample_with_masks()
+        out = T.resize(s, (50, 80))
+        assert out["masks"].shape == (3, 50, 80)
+        out = T.crop(s, 10, 20, 50, 60)
+        assert out["masks"].shape == (3, 50, 60)
+        out = T.hflip(s)
+        np.testing.assert_array_equal(out["masks"], s["masks"][:, :, ::-1])
+
+    def test_random_iou_crop_invariants(self):
+        rng = random.Random(3)
+        for seed in range(8):
+            s = sample(h=200, w=300, seed=seed)
+            out = T.RandomIoUCrop()(s, rng)
+            h, w = out["image"].shape[:2]
+            assert len(out["boxes"]) == len(out["labels"])
+            assert len(out["boxes"]) >= 1  # at least one center inside
+            assert (out["boxes"][:, [0, 2]] <= w).all()
+            assert (out["boxes"][:, [1, 3]] <= h).all()
+            assert (out["boxes"] >= 0).all()
+
+    def test_random_shift_boxes(self):
+        rng = random.Random(0)
+        s = sample(h=100, w=160)
+        out = T.RandomShift(0.25, p=1.0)(s, rng)
+        assert out["image"].shape == s["image"].shape
+        # box widths can only shrink at borders
+        w0 = s["boxes"][:, 2] - s["boxes"][:, 0]
+        w1 = out["boxes"][:, 2] - out["boxes"][:, 0]
+        assert (w1 <= w0 + 1e-4).all()
+
+    def test_photometric_album_ops_preserve_shape(self):
+        rng = random.Random(0)
+        s = sample()
+        for op in (
+            T.RandomBrightnessContrast(p=1.0),
+            T.RandomRGBShift(p=1.0),
+            T.RandomHSV(p=1.0),
+            T.RandomJPEG(p=1.0),
+            T.RandomChannelShuffle(p=1.0),
+            T.RandomBlur(p=1.0),
+        ):
+            out = op(s, rng)
+            assert out["image"].shape == s["image"].shape
+            assert out["image"].dtype == np.uint8
+            np.testing.assert_array_equal(out["boxes"], s["boxes"])
+
+    def test_new_presets_run(self):
+        rng = random.Random(0)
+        for name in ("ssdlite", "strong_album", "rtdetr"):
+            for seed in range(3):
+                out = T.PRESETS[name](sample(seed=seed, h=240, w=320), rng)
+                assert len(out["boxes"]) == len(out["labels"])
+                h, w = out["image"].shape[:2]
+                assert (out["boxes"][:, [0, 2]] <= w + 1e-3).all()
+                assert (out["boxes"][:, [1, 3]] <= h + 1e-3).all()
+
+    def test_rtdetr_resizes_to_640(self):
+        rng = random.Random(0)
+        out = T.PRESETS["rtdetr"](sample(h=240, w=320), rng)
+        assert out["image"].shape[:2] == (640, 640)
+
+
+class TestSimpleCopyPaste:
+    def test_pastes_instances(self):
+        rng = random.Random(0)
+        a = sample_with_masks(seed=1)
+        b = sample_with_masks(seed=2)
+        out = T.simple_copy_paste([a, b], rng)
+        assert len(out) == 2
+        # each output must contain at least its pasted partner's instances
+        for o, paste in ((out[0], b), (out[1], a)):
+            assert len(o["boxes"]) >= 1
+            assert len(o["boxes"]) == len(o["labels"]) == len(o["masks"])
+            # pasted pixels come from the partner image
+            alpha = o["masks"][len(o["masks"]) - 1]
+            assert alpha.shape == o["image"].shape[:2]
+
+    def test_pasted_region_pixels_change(self):
+        rng = random.Random(0)
+        a = sample_with_masks(seed=1)
+        b = sample_with_masks(seed=2)
+        out = T.simple_copy_paste([a, b], rng)
+        # somewhere inside b's mask union, out[0] should differ from a
+        union = b["masks"].sum(0) > 0
+        diff = (out[0]["image"].astype(int) - a["image"].astype(int))[union]
+        assert np.abs(diff).sum() > 0
+
+    def test_no_masks_passthrough(self):
+        rng = random.Random(0)
+        a, b = sample(seed=1), sample(seed=2)
+        out = T.simple_copy_paste([a, b], rng)
+        np.testing.assert_array_equal(out[0]["image"], a["image"])
+
+
+class TestMaskLoadingAndO365:
+    @pytest.fixture
+    def mask_dataset(self, tmp_path):
+        import cv2
+
+        img_dir = tmp_path / "images" / "train" / "b"
+        img_dir.mkdir(parents=True)
+        (tmp_path / "flat").mkdir()
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / "x.jpg"), img)
+        cv2.imwrite(str(tmp_path / "flat" / "x.jpg"), img)
+        ann = {
+            "images": [{"id": 1, "file_name": "a/b/x.jpg", "height": 64, "width": 80}],
+            "annotations": [{
+                "id": 1, "image_id": 1, "category_id": 1,
+                "bbox": [10, 10, 20, 20], "area": 400.0, "iscrowd": 0,
+                "segmentation": [[10, 10, 30, 10, 30, 30, 10, 30]],
+            }],
+            "categories": [{"id": 1, "name": "c"}],
+        }
+        (tmp_path / "ann.json").write_text(json.dumps(ann))
+        return tmp_path
+
+    def test_return_masks_rasterizes_polygons(self, mask_dataset):
+        ds = CocoDetection(
+            str(mask_dataset / "images" / "train" / "b"), str(mask_dataset / "ann.json"),
+            return_masks=True,
+        )
+        # remap the nested file name to the flat copy for plain CocoDetection
+        ds.coco.imgs[1]["file_name"] = "x.jpg"
+        s = ds.get_raw(0)
+        m = s["masks"]
+        assert m.shape == (1, 64, 80)
+        assert m[0, 20, 20]  # inside the square polygon
+        assert not m[0, 50, 50]
+        # mask area approximates the polygon (inclusive rasterization)
+        assert 380 <= m[0].sum() <= 480
+
+    def test_object365_path_remap(self, mask_dataset):
+        from salience_detr_tpu.data.coco import Object365Detection
+
+        ds = Object365Detection(
+            str(mask_dataset), str(mask_dataset / "ann.json"), train=True,
+        )
+        s = ds.get_raw(0)  # file_name a/b/x.jpg -> images/train/b/x.jpg
+        assert s["image"].shape == (64, 80, 3)

@@ -309,6 +309,66 @@ def _quad_corner_weights(locs):
     return jnp.stack(wts, 2)  # (B,Q,L,P,4)
 
 
+def build_pairs(value):
+    """(B,S,C) -> (B,S,2C): row s holds [v[s], v[s+1]] — the x-adjacent corner
+    pair in ONE 1KB gather row (the measured gather sweet spot)."""
+    return jnp.concatenate([value, jnp.roll(value, -1, axis=1)], axis=-1)
+
+
+def pair_base_and_weights(locs, attn=None):
+    """Per (l,p,y-corner) row base index + (x-half, y) scalar corner weights.
+
+    x handled by base clamping to [0, w-2] + weight reassignment (exact,
+    incl. zero padding); y by two rows with classic clamp + zero weight.
+
+    returns base (B,Q,L,P,2) int32 [y-corner last], cw (B,Q,L,P,2,2) f32
+    [y-corner, x-half]."""
+    bases, wts = [], []
+    start = 0
+    for lvl, (h, w_) in enumerate(SHAPES):
+        loc = locs[:, :, lvl]
+        x = loc[..., 0] * w_ - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x); y0 = jnp.floor(y)
+        fx = x - x0; fy = y - y0
+        x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+        bx = jnp.clip(x0i, 0, w_ - 2)
+        wx = []
+        for j in (0, 1):
+            wx.append(jnp.where(bx + j == x0i, 1 - fx,
+                                jnp.where(bx + j == x0i + 1, fx, 0.0)))
+        lvl_base, lvl_w = [], []
+        for dy, wy_val in ((0, 1 - fy), (1, fy)):
+            cy = y0i + dy
+            valid_y = (cy >= 0) & (cy < h)
+            cyc = jnp.clip(cy, 0, h - 1)
+            lvl_base.append(start + cyc * w_ + bx)
+            wy = jnp.where(valid_y, wy_val, 0.0)
+            lvl_w.append(jnp.stack([wy * wx[0], wy * wx[1]], -1))  # (B,Q,P,2)
+        bases.append(jnp.stack(lvl_base, -1))  # (B,Q,P,2)
+        wts.append(jnp.stack(lvl_w, -2))  # (B,Q,P,2,2)
+        start += h * w_
+    base = jnp.stack(bases, 2)  # (B,Q,L,P,2)
+    cw = jnp.stack(wts, 2)  # (B,Q,L,P,2,2)
+    return base, cw
+
+
+def two_stage_pair(value, locs, w):
+    """Pair gather (1KB rows) + fused scalar-weight corner reduce (stage 1)
+    + small per-head reduce (stage 2), all XLA mult+sum."""
+    Q = locs.shape[1]
+    vp = build_pairs(value)  # (B,S,2C)
+    base, cw = pair_base_and_weights(locs)  # (B,Q,L,P,2), (B,Q,L,P,2,2)
+    off = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None, None]
+    g = jnp.take(vp.reshape(B * S, 2 * C), (base + off).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, P, 2, 2, C).astype(jnp.float32)
+    sampled = (g * cw[..., None]).sum(axis=(4, 5))  # (B,Q,L,P,C)
+    sampled = sampled.reshape(B, Q, L, P, H, D)
+    attnT = jnp.transpose(w, (0, 1, 3, 4, 2))  # (B,Q,L,P,H)
+    out = (sampled * attnT[..., None]).sum(axis=(2, 3))  # (B,Q,H,D)
+    return out.reshape(B, Q, C)
+
+
 def check(fn, Q=256):
     value, locs, w = make_inputs(Q)
     ref = ms_deform_attn_core_shared(value, SHAPES, locs, w, H)
@@ -326,6 +386,7 @@ def main():
         ("mulsum", mulsum),
         ("two_stage", two_stage),
         ("two_stage_quad", two_stage_quad),
+        ("two_stage_pair", two_stage_pair),
     ]:
         try:
             check(fn)
@@ -346,6 +407,7 @@ def main():
             ("flat_pl", flat_pl),
             ("two_stage     ", two_stage),
             ("two_stage_quad", two_stage_quad),
+            ("two_stage_pair", two_stage_pair),
         ]:
             try:
                 t = device_time(lambda l: fn(value, l, w), (locs,), iters=5)

@@ -25,6 +25,12 @@ def parse_args():
     )
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument(
+        "--accumulate-steps", type=int, default=1,
+        help="micro-batch gradient accumulation inside the compiled step "
+        "(the reference's accelerator.accumulate, main.py:36-38); the batch "
+        "size must be divisible by it",
+    )
     p.add_argument("--use-deterministic-algorithms", action="store_true")
     p.add_argument("--dry-run-steps", type=int, default=0,
                    help="stop after N steps (smoke testing)")
@@ -79,15 +85,23 @@ def main():
     logger.info(f"seed={seed}")
 
     # data
+    use_copypaste = bool(cfg.get("copypaste", False))
     train_dataset = CocoDetection(
         cfg.train_img_folder, cfg.train_ann_file,
         transforms=PRESETS[cfg.get("train_transform", "detr")], train=True,
+        return_masks=use_copypaste,  # SimpleCopyPaste composites by masks
     )
     test_dataset = CocoDetection(cfg.test_img_folder, cfg.test_ann_file)
+    batch_transform = None
+    if use_copypaste:
+        from salience_detr_tpu.data.transforms import simple_copy_paste
+
+        batch_transform = simple_copy_paste
     train_loader = DetectionLoader(
         train_dataset, cfg.batch_size, canvas_hw=tuple(cfg.get("train_canvas", (800, 1344))),
         max_gt=cfg.get("max_gt", 100), shuffle=True, seed=seed,
         num_workers=cfg.get("num_workers", 8),
+        batch_transform=batch_transform,
     )
     test_loader = DetectionLoader(
         test_dataset, cfg.batch_size, canvas_hw=tuple(cfg.get("train_canvas", (800, 1344))),
@@ -153,7 +167,8 @@ def main():
 
         weight_dict = default_weight_dict(model_cfg.num_decoder_layers)
         train_step = make_train_step(
-            model, criterion, sal_criterion, tx, weight_dict, mesh=mesh
+            model, criterion, sal_criterion, tx, weight_dict, mesh=mesh,
+            accumulate_steps=max(args.accumulate_steps, 1),
         )
         eval_step = make_eval_step(model, postprocess, mesh=mesh)
         tracker = TensorBoardTracker(output_dir)
