@@ -369,6 +369,39 @@ def two_stage_pair(value, locs, w):
     return out.reshape(B, Q, C)
 
 
+def two_stage_pair2(value, locs, w):
+    """Pair gather + scalar corner reduce (bf16 out) + LANE-FRIENDLY stage 2:
+    attention expanded onto the C lanes via head-major repeat so the reduce
+    keeps 256 lanes hot (D=32-minor layouts waste 4/5 of each vreg)."""
+    Q = locs.shape[1]
+    vp = build_pairs(value)  # (B,S,2C)
+    base, cw = pair_base_and_weights(locs)
+    off = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None, None]
+    g = jnp.take(vp.reshape(B * S, 2 * C), (base + off).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, P, 2, 2, C)
+    sampled = (g * cw[..., None].astype(g.dtype)).sum(axis=(4, 5))  # (B,Q,L,P,C) f32? bf16*f32->f32
+    attnT = jnp.transpose(w, (0, 1, 3, 4, 2))  # (B,Q,L,P,H)
+    attn_c = jnp.repeat(attnT, D, axis=-1)  # (B,Q,L,P,C) head-major
+    out = (sampled * attn_c).sum(axis=(2, 3))  # (B,Q,C)
+    return out
+
+
+def mulsum_pair(value, locs, w):
+    """Pair gather + ONE fused multiply-reduce: weight = corner x head, heads
+    expanded onto lanes (broadcasts fuse; g is read exactly once)."""
+    Q = locs.shape[1]
+    vp = build_pairs(value)
+    base, cw = pair_base_and_weights(locs)  # (B,Q,L,P,2), (B,Q,L,P,2,2)
+    off = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None, None]
+    g = jnp.take(vp.reshape(B * S, 2 * C), (base + off).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, P, 2, 2, C)
+    attnT = jnp.transpose(w, (0, 1, 3, 4, 2))  # (B,Q,L,P,H)
+    attn_c = jnp.repeat(attnT, D, axis=-1)  # (B,Q,L,P,C)
+    wt = cw[..., None] * attn_c[:, :, :, :, None, None, :]  # (B,Q,L,P,2,2,C)
+    out = (g * wt.astype(g.dtype)).astype(jnp.float32).sum(axis=(2, 3, 4, 5))
+    return out
+
+
 def check(fn, Q=256):
     value, locs, w = make_inputs(Q)
     ref = ms_deform_attn_core_shared(value, SHAPES, locs, w, H)
