@@ -27,7 +27,7 @@ from salience_detr_tpu.ops.boxes import (
     generalized_box_iou_elementwise,
     generalized_box_iou_pairwise,
 )
-from salience_detr_tpu.ops.hungarian import batched_assignment
+from salience_detr_tpu.ops.hungarian import batched_assignment, batched_mixed_assignment
 from salience_detr_tpu.ops.losses import sigmoid_focal_loss, vari_sigmoid_focal_loss
 
 
@@ -82,6 +82,7 @@ class SetCriterion:
         gamma: float = 2.0,
         hybrid: bool = True,
         two_stage_binary_cls: bool = False,
+        mixed_match_copies: int = 1,
     ):
         self.num_classes = num_classes
         self.cost_class = cost_class
@@ -91,6 +92,9 @@ class SetCriterion:
         self.gamma = gamma
         self.hybrid = hybrid
         self.two_stage_binary_cls = two_stage_binary_cls
+        # Align-DETR mixed assignment (hungarian_matcher.py:83-91): > 1 gives
+        # each gt up to that many matched queries; off in all shipped configs
+        self.mixed_match_copies = mixed_match_copies
 
     # -------------------------------------------------------------- matching
 
@@ -105,6 +109,27 @@ class SetCriterion:
         )
         return batched_assignment(cost, targets.valid)
 
+    def match_mixed(
+        self, pred_logits, pred_boxes, targets: Targets
+    ) -> Tuple[jnp.ndarray, Targets]:
+        """Align-DETR mixed assignment: each gt matched to up to
+        ``mixed_match_copies`` queries.  Returns the (B, C*M) flat gt->query
+        map plus the correspondingly replicated targets, so the loss math
+        downstream is unchanged."""
+        C = self.mixed_match_copies
+        cost = compute_matching_cost(
+            jax.lax.stop_gradient(pred_logits),
+            jax.lax.stop_gradient(pred_boxes),
+            targets,
+            self.cost_class, self.cost_bbox, self.cost_giou,
+            self.alpha, self.gamma,
+        )
+        match, copy_valid = batched_mixed_assignment(cost, targets.valid, C)
+        B, _, M = match.shape
+        rep = lambda x: jnp.tile(x, (1, C) + (1,) * (x.ndim - 2))
+        expanded = Targets(rep(targets.labels), rep(targets.boxes), copy_valid.reshape(B, C * M))
+        return match.reshape(B, C * M), expanded
+
     # ---------------------------------------------------------------- losses
 
     def calculate_loss(
@@ -116,7 +141,10 @@ class SetCriterion:
         gt_to_query: Optional[jnp.ndarray] = None,  # (B, M); None -> match
     ) -> Dict[str, jnp.ndarray]:
         if gt_to_query is None:
-            gt_to_query = self.match(pred_logits, pred_boxes, targets)
+            if self.mixed_match_copies > 1:
+                gt_to_query, targets = self.match_mixed(pred_logits, pred_boxes, targets)
+            else:
+                gt_to_query = self.match(pred_logits, pred_boxes, targets)
 
         B, Q, K = pred_logits.shape
         valid = targets.valid
@@ -200,28 +228,30 @@ class SetCriterion:
         dn_coord: jnp.ndarray,  # (num_layers, B, Ndn, 4)
         targets: Targets,
         num_boxes: jnp.ndarray,
-        dn_query_idx: np.ndarray,  # (P,) static positive slot indices
-        dn_gt_idx: np.ndarray,  # (P,) static gt indices
-        dn_groups: int,
+        dn_query_idx: jnp.ndarray,  # (P,) positive slot indices (on device)
+        dn_gt_idx: jnp.ndarray,  # (P,) gt indices (on device)
+        pair_live: jnp.ndarray,  # (P,) bool — pairs within the live g*m prefix
+        dn_groups: jnp.ndarray,  # scalar g (traced)
     ) -> Dict[str, jnp.ndarray]:
-        """Denoising losses with fixed indices (base_detector.py:188-244)."""
-        M_need = int(np.max(dn_gt_idx)) + 1 if len(dn_gt_idx) else 0
+        """Denoising losses (base_detector.py:188-244).  Indices are traced
+        arrays from :func:`denoising.cdn_match_indices` — the pair layout
+        follows the batch's exact (m, g) like the reference's per-batch
+        meshgrid, with dead pairs masked out of the loss."""
         labels, boxes, valid = targets
-        if labels.shape[1] < M_need:  # pad gt capacity up to the dn capacity
-            pad = M_need - labels.shape[1]
-            labels = jnp.pad(labels, ((0, 0), (0, pad)))
-            boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)), constant_values=0.5)
-            valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        M = labels.shape[1]
+        t_c = jnp.clip(dn_gt_idx, 0, M - 1)[None]  # (1, P)
         dn_targets = Targets(
-            labels[:, dn_gt_idx], boxes[:, dn_gt_idx], valid[:, dn_gt_idx]
+            jnp.take_along_axis(labels, t_c, axis=1),
+            jnp.take_along_axis(boxes, t_c[..., None], axis=1),
+            jnp.take_along_axis(valid, t_c, axis=1) & pair_live[None],
         )
         B = dn_class.shape[1]
         gt_to_query = jnp.broadcast_to(
-            jnp.asarray(dn_query_idx, jnp.int32)[None], (B, len(dn_query_idx))
+            dn_query_idx.astype(jnp.int32)[None], (B, dn_query_idx.shape[0])
         )
         losses = {}
         n_layers = dn_class.shape[0]
-        nb = num_boxes * dn_groups
+        nb = num_boxes * dn_groups.astype(jnp.float32)
         for i in range(n_layers):
             l = self.calculate_loss(
                 dn_class[i], dn_coord[i], dn_targets, nb, gt_to_query=gt_to_query

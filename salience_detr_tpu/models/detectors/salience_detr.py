@@ -27,7 +27,11 @@ from salience_detr_tpu.models.bricks.criterion import (
     Targets,
     default_weight_dict,
 )
-from salience_detr_tpu.models.bricks.denoising import GenerateCDNQueries, cdn_attn_mask
+from salience_detr_tpu.models.bricks.denoising import (
+    GenerateCDNQueries,
+    cdn_attn_mask_dynamic,
+    cdn_match_indices,
+)
 from salience_detr_tpu.models.bricks.salience_transformer import SalienceTransformer
 from salience_detr_tpu.ops import misc as misc_ops
 from salience_detr_tpu.ops.pos_encoding import sine_position_embedding
@@ -47,7 +51,7 @@ class SalienceDETR(nn.Module):
     num_classes: int = 91
     num_queries: int = 900
     denoising_nums: int = 100
-    dn_max_gt: int = 25
+    dn_max_gt: int = 25  # deprecated (dynamic CDN groups); kept for configs
     strides: Tuple[int, ...] = (8, 16, 32, 64)
     dtype: Any = jnp.float32
 
@@ -56,7 +60,6 @@ class SalienceDETR(nn.Module):
             num_classes=self.num_classes,
             label_embed_dim=self.transformer.embed_dim,
             denoising_nums=self.denoising_nums,
-            dn_max_gt=self.dn_max_gt,
             label_noise_prob=0.5,
             box_noise_scale=1.0,
             dtype=self.dtype,
@@ -90,21 +93,20 @@ class SalienceDETR(nn.Module):
         vr = misc_ops.valid_ratios(valid_hw, shapes)
 
         noised_label_query = noised_box_query = attn_mask = None
+        dn_m = dn_g = None
         if train and targets is not None:
             rng = self.make_rng("denoising")
-            noised_label_query, noised_box_query = self.denoising_generator(
+            noised_label_query, noised_box_query, dn_m, dn_g = self.denoising_generator(
                 targets.labels, targets.boxes, targets.valid, rng
             )
             # matching-query count is clamped by the token budget on tiny
             # canvases (see SalienceTransformer two-stage selection)
             total_tokens = sum(s[0] * s[1] for s in shapes)
             num_matching = min(self.num_queries, 4 * self.num_queries, total_tokens)
-            attn_mask = jnp.asarray(
-                cdn_attn_mask(
-                    self.denoising_generator.dn_groups,
-                    2 * self.dn_max_gt,
-                    num_matching,
-                )
+            attn_mask = cdn_attn_mask_dynamic(
+                dn_m, dn_g,
+                self.denoising_generator.num_denoising_queries,
+                num_matching,
             )
 
         outputs_class, outputs_coord, enc_class, enc_coord, salience = self.transformer(
@@ -124,6 +126,8 @@ class SalienceDETR(nn.Module):
             out["dn_coord"] = outputs_coord[:, :, :ndn]
             out["pred_class"] = outputs_class[:, :, ndn:]
             out["pred_coord"] = outputs_coord[:, :, ndn:]
+            out["dn_m"] = dn_m
+            out["dn_groups"] = dn_g
         else:
             out["pred_class"] = outputs_class
             out["pred_coord"] = outputs_coord
@@ -136,14 +140,13 @@ def compute_loss(
     image_sizes: jnp.ndarray,
     criterion: SetCriterion,
     salience_criterion: SalienceCriterion,
-    dn_query_idx: np.ndarray,
-    dn_gt_idx: np.ndarray,
-    dn_groups: int,
     num_boxes: jnp.ndarray,
     weight_dict: Optional[Dict[str, float]] = None,
+    denoising_nums: int = 100,
 ) -> Dict[str, jnp.ndarray]:
     """Hungarian + denoising + salience losses with weight_dict reweighting
-    (salience_detr.py:223-240)."""
+    (salience_detr.py:223-240).  The dn match indices are computed on device
+    from the batch's (m, g) CDN scalars carried in ``outputs``."""
     if weight_dict is None:
         weight_dict = default_weight_dict(outputs["pred_class"].shape[0])
 
@@ -153,10 +156,13 @@ def compute_loss(
         targets, num_boxes,
     )
     if "dn_class" in outputs:
+        dn_query_idx, dn_gt_idx, pair_live = cdn_match_indices(
+            outputs["dn_m"], outputs["dn_groups"], denoising_nums
+        )
         losses.update(
             criterion.dn_loss(
                 outputs["dn_class"], outputs["dn_coord"], targets, num_boxes,
-                dn_query_idx, dn_gt_idx, dn_groups,
+                dn_query_idx, dn_gt_idx, pair_live, outputs["dn_groups"],
             )
         )
     losses.update(

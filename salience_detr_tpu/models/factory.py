@@ -48,8 +48,12 @@ class SalienceDETRConfig:
     backbone: str = "resnet50"
     backbone_return_indices: Tuple[int, ...] = (1, 2, 3)
     backbone_freeze_indices: Tuple[int, ...] = (0,)
+    # ResNet only: per-stage DCNv2 (reference resnet.py:177)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     # denoising
     denoising_nums: int = 100
+    # deprecated: CDN group count is now the reference's per-batch dynamic
+    # value (models/bricks/denoising.py); kept so old configs still load
     dn_max_gt: int = 25
     # matcher / loss
     cost_class: float = 2.0
@@ -79,6 +83,7 @@ def build_backbone(cfg: SalienceDETRConfig):
             arch=name,
             return_indices=cfg.backbone_return_indices,
             freeze_indices=cfg.backbone_freeze_indices,
+            stage_with_dcn=cfg.stage_with_dcn,
             dtype=cfg.dtype,
         )
     if name.startswith("conv"):

@@ -74,15 +74,6 @@ def make_train_step(
     ``accelerator.accumulate``, /root/reference/util/engine.py:44 +
     main.py:36-38) — batch dims must be divisible by it."""
 
-    dn_groups = max(model.denoising_nums // model.dn_max_gt, 1)
-    from salience_detr_tpu.models.bricks.denoising import GenerateCDNQueries
-
-    dn_query_idx, dn_gt_idx = GenerateCDNQueries(
-        num_classes=model.num_classes,
-        denoising_nums=model.denoising_nums,
-        dn_max_gt=model.dn_max_gt,
-    ).dn_match_indices()
-
     def micro_grads(state, batch, rng, num_boxes):
         targets = Targets(batch["labels"], batch["boxes"], batch["gt_valid"])
         dn_rng, drop_rng = jax.random.split(rng)
@@ -102,8 +93,8 @@ def make_train_step(
             )
             losses = compute_loss(
                 outputs, targets, batch["image_sizes"], criterion,
-                salience_criterion, dn_query_idx, dn_gt_idx, dn_groups,
-                num_boxes, weight_dict,
+                salience_criterion, num_boxes, weight_dict,
+                denoising_nums=model.denoising_nums,
             )
             total = sum(jnp.asarray(v, jnp.float32) for v in losses.values())
             return total, (losses, mutated.get("batch_stats", state.batch_stats))

@@ -10,6 +10,8 @@ from salience_detr_tpu.models.bricks.criterion import Targets
 from salience_detr_tpu.models.detectors.salience_detr import compute_loss
 from salience_detr_tpu.models.factory import SalienceDETRConfig, build_salience_detr
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast lane
+
 CANVAS = (128, 128)
 B = 2
 MAX_GT = 7
@@ -92,15 +94,16 @@ class TestModelForward:
                 mutable=["batch_stats"],
             )
         )(images, image_sizes, targets)
-        ndn = 2 * max(cfg.denoising_nums // cfg.dn_max_gt, 1) * cfg.dn_max_gt
+        ndn = 2 * cfg.denoising_nums
         assert out["dn_class"].shape[2] == ndn
         assert out["pred_class"].shape[2] == cfg.num_queries
+        # batch max gt = 5, denoising_nums = 8 -> reference groups = 8*5//25 = 1
+        assert int(out["dn_m"]) == 5 and int(out["dn_groups"]) == 1
 
-        dn_q, dn_g = _dn_indices(cfg)
         num_boxes = jnp.maximum(targets.valid.sum().astype(jnp.float32), 1.0)
         losses = compute_loss(
-            out, targets, image_sizes, criterion, sal_criterion,
-            dn_q, dn_g, max(cfg.denoising_nums // cfg.dn_max_gt, 1), num_boxes,
+            out, targets, image_sizes, criterion, sal_criterion, num_boxes,
+            denoising_nums=cfg.denoising_nums,
         )
         assert "loss_class" in losses and "loss_salience" in losses
         assert "loss_class_dn" in losses and "loss_class_enc" in losses
@@ -110,7 +113,6 @@ class TestModelForward:
     def test_gradients(self, model_and_vars):
         cfg, model, criterion, sal_criterion, _, variables = model_and_vars
         images, image_sizes, targets = make_inputs()
-        dn_q, dn_g = _dn_indices(cfg)
         num_boxes = jnp.maximum(targets.valid.sum().astype(jnp.float32), 1.0)
 
         def loss_fn(params):
@@ -120,8 +122,8 @@ class TestModelForward:
                 mutable=["batch_stats"],
             )
             losses = compute_loss(
-                out, targets, image_sizes, criterion, sal_criterion,
-                dn_q, dn_g, max(cfg.denoising_nums // cfg.dn_max_gt, 1), num_boxes,
+                out, targets, image_sizes, criterion, sal_criterion, num_boxes,
+                denoising_nums=cfg.denoising_nums,
             )
             return sum(losses.values())
 
@@ -133,11 +135,3 @@ class TestModelForward:
         assert total > 0
 
 
-def _dn_indices(cfg):
-    from salience_detr_tpu.models.bricks.denoising import GenerateCDNQueries
-
-    gen = GenerateCDNQueries(
-        num_classes=cfg.num_classes, denoising_nums=cfg.denoising_nums,
-        dn_max_gt=cfg.dn_max_gt,
-    )
-    return gen.dn_match_indices()
