@@ -17,6 +17,7 @@ from typing import Any, Dict, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from salience_detr_tpu.models.bricks.deform_conv import DeformConv2dPack
 from salience_detr_tpu.models.layers import FrozenBatchNorm
 
 Dtype = Any
@@ -48,10 +49,23 @@ def _conv(features, kernel, stride, dtype, name, dilation=1):
     )
 
 
+def _conv3x3_maybe_dcn(features, stride, with_dcn, dtype, name):
+    """conv2 of a residual block: plain 3x3 or DCNv2 when the stage is
+    configured with deformable convs (/root/reference/models/backbones/
+    resnet.py:31-44,78-81,133-136; conv3x3_dcn uses bias=False)."""
+    if with_dcn:
+        return DeformConv2dPack(
+            features, kernel_size=3, stride=stride, use_bias=False,
+            dtype=dtype, name=name,
+        )
+    return _conv(features, 3, stride, dtype, name)
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    with_dcn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -60,7 +74,8 @@ class BasicBlock(nn.Module):
         out = _conv(self.planes, 3, self.stride, self.dtype, "conv1")(x)
         out = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, self.dtype, "conv2")(out)
+        # the reference's BasicBlock dcn conv2 is stride-1 (resnet.py:78-81)
+        out = _conv3x3_maybe_dcn(self.planes, 1, self.with_dcn, self.dtype, "conv2")(out)
         out = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn2")(out)
         if self.downsample:
             identity = _conv(self.planes, 1, self.stride, self.dtype, "downsample_conv")(x)
@@ -73,6 +88,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     base_width: int = 64
+    with_dcn: bool = False
     dtype: Dtype = jnp.float32
 
     expansion: int = 4
@@ -86,7 +102,7 @@ class Bottleneck(nn.Module):
         out = FrozenBatchNorm(width, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         # torchvision puts the stride on the 3x3 conv
-        out = _conv(width, 3, self.stride, self.dtype, "conv2")(out)
+        out = _conv3x3_maybe_dcn(width, self.stride, self.with_dcn, self.dtype, "conv2")(out)
         out = FrozenBatchNorm(width, dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
         out = _conv(out_ch, 1, 1, self.dtype, "conv3")(out)
@@ -107,6 +123,9 @@ class ResNetBackbone(nn.Module):
     arch: str = "resnet50"
     return_indices: Tuple[int, ...] = (1, 2, 3)
     freeze_indices: Tuple[int, ...] = (0,)
+    # per-stage modulated deformable convs in conv2 of every block
+    # (/root/reference/models/backbones/resnet.py:177,204-227)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dtype: Dtype = jnp.float32
 
     @property
@@ -142,6 +161,7 @@ class ResNetBackbone(nn.Module):
                     planes=planes,
                     stride=stride,
                     downsample=downsample,
+                    with_dcn=self.stage_with_dcn[stage],
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{blk}",
                     **kwargs,

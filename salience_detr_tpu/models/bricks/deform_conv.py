@@ -45,12 +45,15 @@ def _bilinear_sample_map(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jn
 class DeformConv2dPack(nn.Module):
     """3x3 modulated deformable conv with self-predicted offsets/masks.
 
-    Offset/mask conv is zero-initialized so the op starts as a plain conv
-    (matching the reference's init, deform_conv2d_pack.py)."""
+    Separate ``conv_offset`` / ``conv_mask`` convs mirror the reference's
+    module layout (deform_conv2d_pack.py:32-51), with torchvision's
+    interleaved (dy, dx)-per-tap offset channel order; both are
+    zero-initialized so the op starts as a plain conv."""
 
     features: int
     kernel_size: int = 3
     stride: int = 1
+    use_bias: bool = True  # conv3x3_dcn in ResNet stages uses bias=False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,16 +63,17 @@ class DeformConv2dPack(nn.Module):
         pad = K // 2
         taps = K * K
 
-        om = nn.Conv(
-            3 * taps, (K, K), strides=(self.stride, self.stride),
+        conv = lambda ch, name: nn.Conv(
+            ch, (K, K), strides=(self.stride, self.stride),
             padding=[(pad, pad), (pad, pad)],
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            dtype=self.dtype, name="conv_offset",
-        )(x)
+            dtype=self.dtype, name=name,
+        )
+        om = conv(2 * taps, "conv_offset")(x)  # (dy, dx) interleaved per tap
+        mask = jax.nn.sigmoid(conv(taps, "conv_mask")(x))  # (B, Ho, Wo, taps)
         Ho, Wo = om.shape[1], om.shape[2]
-        off_y = om[..., :taps]
-        off_x = om[..., taps : 2 * taps]
-        mask = jax.nn.sigmoid(om[..., 2 * taps :])  # (B, Ho, Wo, taps)
+        off_y = om[..., 0::2]
+        off_x = om[..., 1::2]
 
         # base sampling grid per tap
         gy, gx = jnp.meshgrid(
@@ -95,9 +99,10 @@ class DeformConv2dPack(nn.Module):
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             (taps, Cin, self.features),
         )
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
         out = jnp.einsum(
             "bhwkc,kcf->bhwf", sampled.astype(self.dtype), w.astype(self.dtype),
             preferred_element_type=jnp.float32,
         )
-        return (out + b).astype(self.dtype)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (self.features,))
+        return out.astype(self.dtype)

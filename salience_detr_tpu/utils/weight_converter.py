@@ -84,7 +84,22 @@ def _mlp(src: str, dst: str, n: int):
     return rules
 
 
-def _resnet_rules(layers: Tuple[int, ...] = (3, 4, 6, 3), bottleneck: bool = True):
+def _dcn_pack(src: str, dst: str):
+    """DeformConv2dPack (reference deform_conv2d_pack.py:32-61; conv3x3_dcn
+    has bias=False so deform_conv2d.bias is absent)."""
+    rules = []
+    for part in ("conv_offset", "conv_mask"):
+        rules += _conv(f"{src}.{part}", f"{dst}/{part}")
+        rules += [(f"{src}.{part}.bias", f"params/{dst}/{part}/bias", "copy")]
+    rules += [(f"{src}.deform_conv2d.weight", f"params/{dst}/kernel", "dcn_kernel")]
+    return rules
+
+
+def _resnet_rules(
+    layers: Tuple[int, ...] = (3, 4, 6, 3),
+    bottleneck: bool = True,
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False),
+):
     rules = []
     rules += _conv("backbone.conv1", "backbone/conv1")
     rules += _frozen_bn("backbone.bn1", "backbone/bn1")
@@ -94,7 +109,10 @@ def _resnet_rules(layers: Tuple[int, ...] = (3, 4, 6, 3), bottleneck: bool = Tru
             src = f"backbone.layer{s + 1}.{b}"
             dst = f"backbone/layer{s + 1}_{b}"
             for c in range(1, n_convs + 1):
-                rules += _conv(f"{src}.conv{c}", f"{dst}/conv{c}")
+                if c == 2 and stage_with_dcn[s]:
+                    rules += _dcn_pack(f"{src}.conv2", f"{dst}/conv2")
+                else:
+                    rules += _conv(f"{src}.conv{c}", f"{dst}/conv{c}")
                 rules += _frozen_bn(f"{src}.bn{c}", f"{dst}/bn{c}")
             if b == 0 and (s > 0 or bottleneck):
                 rules += _conv(f"{src}.downsample.0", f"{dst}/downsample_conv")
@@ -347,7 +365,11 @@ def salience_detr_r50_rules(
     )
 
 
-def salience_detr_rules(backbone: str = "resnet50", **head_kw) -> List[Tuple[str, str, str]]:
+def salience_detr_rules(
+    backbone: str = "resnet50",
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False),
+    **head_kw,
+) -> List[Tuple[str, str, str]]:
     """Full-model rules for any shipped config's backbone family.
 
     backbone: resnet50 | conv_l (ConvNeXt-L) | swin_l | focalnet_large_lrf_fl4
@@ -357,7 +379,7 @@ def salience_detr_rules(backbone: str = "resnet50", **head_kw) -> List[Tuple[str
                   "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
                   "resnet152": (3, 8, 36, 3)}[backbone]
         bottleneck = backbone not in ("resnet18", "resnet34")
-        bb = _resnet_rules(layers, bottleneck)
+        bb = _resnet_rules(layers, bottleneck, stage_with_dcn)
     elif backbone.startswith("conv_"):
         from salience_detr_tpu.models.backbones.convnext import ARCH_SETTINGS
         bb = _convnext_rules(ARCH_SETTINGS[backbone]["depths"])
@@ -388,6 +410,10 @@ def _apply_transform(value: np.ndarray, kind: str) -> np.ndarray:
         return np.transpose(value, (2, 3, 1, 0))
     if kind == "linear":
         return np.transpose(value, (1, 0))
+    if kind == "dcn_kernel":
+        # torch DeformConv2d weight OIHW (F, Cin, K, K) -> (K*K, Cin, F)
+        f, cin, kh, kw = value.shape
+        return np.transpose(value, (2, 3, 1, 0)).reshape(kh * kw, cin, f)
     if kind.startswith("inproj_w"):
         i = int(kind[-1])
         C = value.shape[0] // 3

@@ -38,3 +38,54 @@ def test_stride_two_shape():
     mod = DeformConv2dPack(features=4, stride=2)
     v = mod.init(jax.random.PRNGKey(0), x)
     assert mod.apply(v, x).shape == (1, 4, 4, 4)
+
+
+def test_resnet_stage_with_dcn_forward():
+    """stage_with_dcn swaps conv2 for DCNv2 in the configured stages
+    (reference resnet.py:177,133-136)."""
+    from salience_detr_tpu.models.backbones.resnet import ResNetBackbone
+
+    m = ResNetBackbone(arch="resnet18", stage_with_dcn=(False, False, True, True))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    p = v["params"]
+    assert "conv_offset" in p["layer3_0"]["conv2"]
+    assert "conv_mask" in p["layer4_0"]["conv2"]
+    assert "bias" not in p["layer4_0"]["conv2"]  # conv3x3_dcn bias=False
+    assert set(p["layer2_0"]["conv2"].keys()) == {"kernel"}  # plain conv stage
+    outs = m.apply(v, x)
+    assert outs[3].shape == (1, 2, 2, 512)
+    assert np.isfinite(np.asarray(outs[3])).all()
+
+
+def test_dcn_converter_rules_cover_backbone():
+    from salience_detr_tpu.models.backbones.resnet import ResNetBackbone
+    from salience_detr_tpu.utils.weight_converter import (
+        _resnet_rules,
+        flatten_variables,
+    )
+
+    dcn = (False, True, True, True)
+    m = ResNetBackbone(arch="resnet50", stage_with_dcn=dcn)
+    shapes = jax.eval_shape(
+        lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    flat = flatten_variables(
+        jax.tree.map(lambda x: np.zeros(x.shape, np.float32), shapes)
+    )
+    paths = {
+        k.replace("params/", "params/backbone/").replace("frozen/", "frozen/backbone/")
+        for k in flat
+    }
+    dsts = {d for _, d, _ in _resnet_rules((3, 4, 6, 3), True, dcn)}
+    assert paths == dsts
+
+
+def test_dcn_kernel_transform():
+    from salience_detr_tpu.utils.weight_converter import _apply_transform
+
+    w = np.random.default_rng(1).normal(size=(8, 6, 3, 3)).astype(np.float32)
+    got = _apply_transform(w, "dcn_kernel")
+    assert got.shape == (9, 6, 8)
+    # tap k = (ky, kx) row-major must map to torch weight [..., ky, kx]
+    np.testing.assert_array_equal(got[5], w[:, :, 1, 2].T)
