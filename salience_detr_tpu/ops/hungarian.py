@@ -22,6 +22,8 @@ gt column is assigned a distinct query row.  Padded gt columns
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -104,6 +106,38 @@ def hungarian_assignment(cost: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarra
 def batched_assignment(cost: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarray:
     """vmapped assignment: cost (B, N, M), gt_valid (B, M) -> (B, M) int32."""
     return jax.vmap(hungarian_assignment)(cost, gt_valid)
+
+
+def mixed_assignment(
+    cost: jnp.ndarray, gt_valid: jnp.ndarray, gt_copy: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Align-DETR mixed assignment (/root/reference/models/matcher/
+    hungarian_matcher.py:83-91): replicate the gt columns ``gt_copy`` times and
+    solve ONE exact assignment, so each gt is matched to up to gt_copy
+    distinct queries.  The reference's dynamic copy cap
+    ``min(num_queries * 0.5 / num_gt, gt_copy)`` becomes a validity mask over
+    the replica axis (static shapes).
+
+    cost (N, M), gt_valid (M,) -> (match (gt_copy, M) int32 query per
+    (copy, gt) with -1 for unused slots, copy_gt_valid (gt_copy, M) bool).
+    """
+    N, M = cost.shape
+    num_valid = jnp.sum(gt_valid.astype(jnp.int32))
+    allowed = jnp.minimum((N // 2) // jnp.maximum(num_valid, 1), gt_copy)
+    copy_valid = jnp.arange(gt_copy, dtype=jnp.int32) < allowed  # (gt_copy,)
+    tiled_valid = copy_valid[:, None] & gt_valid[None, :]  # (gt_copy, M)
+    match = hungarian_assignment(
+        jnp.tile(cost, (1, gt_copy)), tiled_valid.reshape(-1)
+    )
+    return match.reshape(gt_copy, M), tiled_valid
+
+
+def batched_mixed_assignment(
+    cost: jnp.ndarray, gt_valid: jnp.ndarray, gt_copy: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vmapped: cost (B, N, M), gt_valid (B, M) ->
+    ((B, gt_copy, M) int32, (B, gt_copy, M) bool)."""
+    return jax.vmap(lambda c, v: mixed_assignment(c, v, gt_copy))(cost, gt_valid)
 
 
 # Backwards-compatible alias (earlier revisions used an auction algorithm).

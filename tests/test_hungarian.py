@@ -78,3 +78,54 @@ class TestAuction:
             m = valid[b].sum()
             r, c = linear_sum_assignment(cost[b][:, :m])
             assert abs(total_cost(cost[b], got[b], valid[b]) - cost[b][r, c].sum()) < 1e-2
+
+
+class TestMixedAssignment:
+    """Align-DETR mixed assignment (reference hungarian_matcher.py:83-91)."""
+
+    def test_matches_scipy_on_tiled_cost(self):
+        from salience_detr_tpu.ops.hungarian import mixed_assignment
+
+        rng = np.random.default_rng(3)
+        N, M, C = 24, 4, 3
+        cost = rng.normal(size=(N, M)).astype(np.float32)
+        got, copy_valid = mixed_assignment(
+            jnp.asarray(cost), jnp.ones((M,), bool), C
+        )
+        got = np.asarray(got)
+        assert np.asarray(copy_valid).all()  # cap 24//2//4 = 3 >= C
+
+        rows, cols = linear_sum_assignment(np.tile(cost, (1, C)))
+        want_cost = cost[rows, cols % M].sum()
+        have_cost = sum(cost[got[c, j], j] for c in range(C) for j in range(M))
+        # every gt gets C distinct queries
+        assert len(set(got.flatten().tolist())) == C * M
+        np.testing.assert_allclose(have_cost, want_cost, rtol=1e-5)
+
+    def test_copy_cap_mirrors_reference(self):
+        from salience_detr_tpu.ops.hungarian import mixed_assignment
+
+        # reference: gt_copy = min(int(num_queries * 0.5 / gt_size), gt_copy)
+        rng = np.random.default_rng(4)
+        N, M, C = 10, 3, 4
+        cost = rng.normal(size=(N, M)).astype(np.float32)
+        got, copy_valid = mixed_assignment(jnp.asarray(cost), jnp.ones((M,), bool), C)
+        allowed = min(int(N * 0.5 / M), C)
+        np.testing.assert_array_equal(
+            np.asarray(copy_valid),
+            np.broadcast_to(np.arange(C)[:, None] < allowed, (C, M)),
+        )
+        got = np.asarray(got)
+        assert (got[allowed:] == -1).all()
+        assert (got[:allowed] >= 0).all()
+
+    def test_invalid_gts_skipped(self):
+        from salience_detr_tpu.ops.hungarian import mixed_assignment
+
+        rng = np.random.default_rng(5)
+        cost = rng.normal(size=(16, 4)).astype(np.float32)
+        valid = jnp.asarray([True, False, True, False])
+        got, copy_valid = mixed_assignment(jnp.asarray(cost), valid, 2)
+        got = np.asarray(got)
+        assert (got[:, 1] == -1).all() and (got[:, 3] == -1).all()
+        assert (got[:, 0] >= 0).all() and (got[:, 2] >= 0).all()
