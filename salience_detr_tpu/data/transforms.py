@@ -67,13 +67,16 @@ def resize(sample: Sample, size_hw) -> Sample:
 
 
 def shortest_size(sample: Sample, min_size: int, max_size: Optional[int] = None) -> Sample:
-    """torchvision RandomShortestSize geometry: r = min(min/min_dim,
-    max/max_dim); new = round(dim * r)."""
+    """Reference resize geometry: r = min(min/min_dim, max/max_dim);
+    new = int(dim * r) — TRUNCATED, exactly like both reference paths
+    (torchvision RandomShortestSize `int(orig * r)`, /root/reference/
+    transforms/v2/_geometry.py:1359-1360, and EvalResize's `.to(dtype)`
+    cast, /root/reference/models/detectors/base_detector.py:44-49)."""
     h, w = sample["image"].shape[:2]
     r = min_size / min(h, w)
     if max_size is not None:
         r = min(r, max_size / max(h, w))
-    return resize(sample, (int(round(h * r)), int(round(w * r))))
+    return resize(sample, (int(h * r), int(w * r)))
 
 
 def crop(sample: Sample, top: int, left: int, height: int, width: int) -> Sample:

@@ -34,10 +34,25 @@ class TestTransforms:
         s = sample(h=100, w=160)
         out = T.shortest_size(s, 50, max_size=70)
         h, w = out["image"].shape[:2]
-        # r = min(50/100, 70/160) = 0.4375
-        assert (h, w) == (44, 70)
-        scale = np.array([70 / 160, 44 / 100, 70 / 160, 44 / 100])
+        # r = min(50/100, 70/160) = 0.4375; reference TRUNCATES: int(43.75)=43
+        assert (h, w) == (43, 70)
+        scale = np.array([70 / 160, 43 / 100, 70 / 160, 43 / 100])
         np.testing.assert_allclose(out["boxes"], s["boxes"] * scale, rtol=1e-5)
+
+    def test_shortest_size_matches_reference_geometry_golden(self):
+        """Golden sweep vs the reference formulas: EvalResize truncates via
+        the int-dtype cast (base_detector.py:44-49) and RandomShortestSize
+        via int() (transforms/v2/_geometry.py:1354-1360) — new = int(dim*r),
+        never round().  A one-pixel disagreement shifts COCO boxes."""
+        cases = [
+            (480, 640), (640, 480), (427, 640), (500, 375), (1333, 800),
+            (123, 4567), (800, 800), (799, 1333), (96, 128),
+        ]
+        for h, w in cases:
+            s = sample(h=h, w=w)
+            out = T.shortest_size(s, 800, max_size=1333)
+            r = min(800 / min(h, w), 1333 / max(h, w))
+            assert out["image"].shape[:2] == (int(h * r), int(w * r)), (h, w)
 
     def test_crop_clamps_boxes(self):
         s = sample()
