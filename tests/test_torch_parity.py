@@ -1,0 +1,501 @@
+"""Block-level numerical parity vs the reference math, in pure torch (CPU).
+
+The strongest mAP-parity proxy available in this environment (no reference
+.pth, no COCO data, no torchvision): each test re-states the reference
+block's exact torch math inline — citing the reference lines — initializes it
+with random weights, maps the weights through the converter rule set, runs
+the flax block, and asserts allclose at the reference's own cross-backend
+verification tolerances (rtol 1e-3 / atol 1e-5,
+/root/reference/tools/pytorch2onnx.py:136-138).
+
+Covered blocks:
+  MaskPredictor         salience_transformer.py:16-47
+  MSDA module           ms_deform_attn.py:215-377 (+ grid_sample core :159-212)
+  Encoder layer         salience_transformer.py:298-396 (pre-attn + MSDA + FFN)
+  Decoder layer         salience_transformer.py:500-589
+  CDN box noise         denoising.py:200-229 (injected noise tensors)
+  CDN attention mask    denoising.py:64-76
+  dn match indices      base_detector.py:205-216
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F
+from torch import nn
+
+import jax
+import jax.numpy as jnp
+
+from salience_detr_tpu.models.bricks.attention import MultiScaleDeformableAttention
+from salience_detr_tpu.models.bricks.denoising import cdn_attn_mask, cdn_box_noise
+from salience_detr_tpu.models.bricks.salience_transformer import (
+    MaskPredictor,
+    SalienceDecoderLayer,
+    SalienceEncoderLayer,
+)
+from salience_detr_tpu.utils.weight_converter import (
+    _linear,
+    _ln,
+    _mha,
+    _msdeform,
+    convert_state_dict,
+    flat_to_nested,
+)
+
+RTOL, ATOL = 1e-3, 1e-5
+
+B, C, H, L, P = 2, 64, 4, 4, 4
+SHAPES = [(8, 11), (4, 6), (2, 3), (1, 2)]
+S = sum(h * w for h, w in SHAPES)
+D_FFN = 128
+
+
+def _randomize(module: nn.Module, seed: int = 0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+    return module
+
+
+def _to_variables(module: nn.Module, rules):
+    state = {k: v.detach().numpy() for k, v in module.state_dict().items()}
+    flat, missing, unused = convert_state_dict(state, rules)
+    assert not missing, f"rules reference missing torch keys: {missing}"
+    assert not unused, f"torch keys not covered by rules: {unused}"
+    return flat_to_nested(flat)
+
+
+# --------------------------------------------------------------------------
+# reference math, re-stated in pure torch
+# --------------------------------------------------------------------------
+
+
+class TorchMaskPredictor(nn.Module):
+    """salience_transformer.py:16-47."""
+
+    def __init__(self, in_dim, h_dim):
+        super().__init__()
+        self.h_dim = h_dim
+        self.layer1 = nn.Sequential(nn.LayerNorm(in_dim), nn.Linear(in_dim, h_dim), nn.GELU())
+        self.layer2 = nn.Sequential(
+            nn.Linear(h_dim, h_dim // 2), nn.GELU(),
+            nn.Linear(h_dim // 2, h_dim // 4), nn.GELU(),
+            nn.Linear(h_dim // 4, 1),
+        )
+
+    def forward(self, x):
+        z = self.layer1(x)
+        z_local, z_global = torch.split(z, self.h_dim // 2, dim=-1)
+        z_global = z_global.mean(dim=1, keepdim=True).expand(-1, z_local.shape[1], -1)
+        return self.layer2(torch.cat([z_local, z_global], dim=-1))
+
+
+def torch_msda_core(value, spatial_shapes, sampling_locations, attention_weights):
+    """The reference's pure-torch sampling core with F.grid_sample
+    (ms_deform_attn.py:159-212)."""
+    bs, _, num_heads, head_dim = value.shape
+    _, nq, _, n_levels, n_points, _ = sampling_locations.shape
+    splits = [h * w for h, w in spatial_shapes]
+    value_list = value.split(splits, dim=1)
+    grids = 2 * sampling_locations - 1
+    sampled = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(bs * num_heads, head_dim, h, w)
+        g = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)  # (bs*H, nq, P, 2)
+        sampled.append(
+            F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        )
+    attn = attention_weights.transpose(1, 2).reshape(bs * num_heads, 1, nq, n_levels * n_points)
+    out = (torch.stack(sampled, dim=-2).flatten(-2) * attn).sum(-1)
+    return out.view(bs, num_heads * head_dim, nq).transpose(1, 2).contiguous()
+
+
+class TorchMSDA(nn.Module):
+    """ms_deform_attn.py:215-377 (module forward, CPU fallback path)."""
+
+    def __init__(self, embed_dim=C, n_levels=L, n_heads=H, n_points=P):
+        super().__init__()
+        self.n_heads, self.n_levels, self.n_points = n_heads, n_levels, n_points
+        self.embed_dim = embed_dim
+        self.sampling_offsets = nn.Linear(embed_dim, n_heads * n_levels * n_points * 2)
+        self.attention_weights = nn.Linear(embed_dim, n_heads * n_levels * n_points)
+        self.value_proj = nn.Linear(embed_dim, embed_dim)
+        self.output_proj = nn.Linear(embed_dim, embed_dim)
+
+    def forward(self, query, reference_points, value, spatial_shapes, key_padding_mask):
+        bs, nq, _ = query.shape
+        value = self.value_proj(value)
+        if key_padding_mask is not None:
+            value = value.masked_fill(key_padding_mask[..., None], 0.0)
+        value = value.view(bs, -1, self.n_heads, self.embed_dim // self.n_heads)
+        offsets = self.sampling_offsets(query).view(
+            bs, nq, self.n_heads, self.n_levels, self.n_points, 2
+        )
+        weights = self.attention_weights(query).view(
+            bs, nq, self.n_heads, self.n_levels * self.n_points
+        )
+        weights = weights.softmax(-1).view(bs, nq, self.n_heads, self.n_levels, self.n_points)
+        if reference_points.shape[-1] == 2:
+            normalizer = torch.tensor(
+                [[w, h] for h, w in spatial_shapes], dtype=torch.float32
+            )
+            locations = (
+                reference_points[:, :, None, :, None, :]
+                + offsets / normalizer[None, None, None, :, None, :]
+            )
+        else:
+            locations = (
+                reference_points[:, :, None, :, None, :2]
+                + offsets / self.n_points * reference_points[:, :, None, :, None, 2:] * 0.5
+            )
+        out = torch_msda_core(value, spatial_shapes, locations, weights)
+        return self.output_proj(out)
+
+
+class TorchEncoderLayer(nn.Module):
+    """salience_transformer.py:298-396 (dropout=0 per the shipped configs)."""
+
+    def __init__(self, embed_dim=C, d_ffn=D_FFN, n_heads=H, topk_sa=5):
+        super().__init__()
+        self.embed_dim, self.topk_sa = embed_dim, topk_sa
+        self.pre_attention = nn.MultiheadAttention(embed_dim, n_heads, 0.0, batch_first=True)
+        self.pre_norm = nn.LayerNorm(embed_dim)
+        self.self_attn = TorchMSDA(embed_dim)
+        self.norm1 = nn.LayerNorm(embed_dim)
+        self.linear1 = nn.Linear(embed_dim, d_ffn)
+        self.linear2 = nn.Linear(d_ffn, embed_dim)
+        self.norm2 = nn.LayerNorm(embed_dim)
+
+    def forward(self, query, query_pos, value, reference_points, spatial_shapes,
+                key_padding_mask, score_tgt, foreground_pre_layer):
+        mc_score = score_tgt.max(-1)[0] * foreground_pre_layer
+        sel = torch.topk(mc_score, self.topk_sa, dim=1)[1]
+        sel_e = sel.unsqueeze(-1).expand(-1, -1, self.embed_dim)
+        select_tgt = torch.gather(query, 1, sel_e)
+        select_pos = torch.gather(query_pos, 1, sel_e)
+        qk = select_tgt + select_pos
+        tgt2 = self.pre_attention(qk, qk, select_tgt)[0]
+        select_tgt = self.pre_norm(select_tgt + tgt2)
+        query = query.scatter(1, sel_e, select_tgt)
+
+        src2 = self.self_attn(query + query_pos, reference_points, value,
+                              spatial_shapes, key_padding_mask)
+        query = self.norm1(query + src2)
+        src2 = self.linear2(F.relu(self.linear1(query)))
+        return self.norm2(query + src2)
+
+
+class TorchDecoderLayer(nn.Module):
+    """salience_transformer.py:500-589 (dropout=0)."""
+
+    def __init__(self, embed_dim=C, d_ffn=D_FFN, n_heads=H):
+        super().__init__()
+        self.self_attn = nn.MultiheadAttention(embed_dim, n_heads, 0.0, batch_first=True)
+        self.norm2 = nn.LayerNorm(embed_dim)
+        self.cross_attn = TorchMSDA(embed_dim)
+        self.norm1 = nn.LayerNorm(embed_dim)
+        self.linear1 = nn.Linear(embed_dim, d_ffn)
+        self.linear2 = nn.Linear(d_ffn, embed_dim)
+        self.norm3 = nn.LayerNorm(embed_dim)
+
+    def forward(self, query, query_pos, reference_points, value, spatial_shapes,
+                key_padding_mask, self_attn_mask):
+        qk = query + query_pos
+        q2 = self.self_attn(qk, qk, query, attn_mask=self_attn_mask)[0]
+        query = self.norm2(query + q2)
+        q2 = self.cross_attn(query + query_pos, reference_points, value,
+                             spatial_shapes, key_padding_mask)
+        query = self.norm1(query + q2)
+        q2 = self.linear2(F.relu(self.linear1(query)))
+        return self.norm3(query + q2)
+
+
+# --------------------------------------------------------------------------
+# shared random inputs
+# --------------------------------------------------------------------------
+
+
+def _inputs(seed=0, nq=9):
+    rng = np.random.default_rng(seed)
+    value = rng.normal(size=(B, S, C)).astype(np.float32)
+    query = rng.normal(size=(B, nq, C)).astype(np.float32)
+    query_pos = rng.normal(size=(B, nq, C)).astype(np.float32)
+    ref2 = rng.uniform(0.1, 0.9, size=(B, nq, L, 2)).astype(np.float32)
+    ref4 = np.concatenate(
+        [ref2, rng.uniform(0.05, 0.3, size=(B, nq, L, 2)).astype(np.float32)], -1
+    )
+    # pad the tail of each image differently
+    mask = np.zeros((B, S), bool)
+    mask[0, -7:] = True
+    mask[1, -3:] = True
+    return value, query, query_pos, ref2, ref4, mask
+
+
+# --------------------------------------------------------------------------
+# tests
+# --------------------------------------------------------------------------
+
+
+def test_mask_predictor_parity():
+    tm = _randomize(TorchMaskPredictor(C, C))
+    rules = (
+        _ln("layer1.0", "norm") + _linear("layer1.1", "layer1")
+        + _linear("layer2.0", "layer2_0") + _linear("layer2.2", "layer2_1")
+        + _linear("layer2.4", "layer2_2")
+    )
+    variables = _to_variables(tm, rules)
+    x = np.random.default_rng(1).normal(size=(B, 17, C)).astype(np.float32)
+    want = tm(torch.from_numpy(x)).detach().numpy()
+    got = MaskPredictor(C).apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("ref_dim", [2, 4])
+def test_msda_module_parity(ref_dim):
+    tm = _randomize(TorchMSDA(), seed=2)
+    rules = []
+    for name in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+        rules += _linear(name, name)
+    variables = _to_variables(tm, rules)
+    value, query, _, ref2, ref4, mask = _inputs(seed=3)
+    ref = ref2 if ref_dim == 2 else ref4
+    want = tm(
+        torch.from_numpy(query), torch.from_numpy(ref), torch.from_numpy(value),
+        SHAPES, torch.from_numpy(mask),
+    ).detach().numpy()
+    got = MultiScaleDeformableAttention(C, L, H, P).apply(
+        variables, jnp.asarray(query), jnp.asarray(ref), jnp.asarray(value),
+        tuple(SHAPES), jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=1e-4)
+
+
+def test_encoder_layer_parity():
+    tm = _randomize(TorchEncoderLayer(), seed=4)
+    rules = (
+        _mha("pre_attention", "pre_attention", C) + _ln("pre_norm", "pre_norm")
+        + _msdeform("self_attn", "self_attn") + _ln("norm1", "norm1")
+        + _linear("linear1", "linear1") + _linear("linear2", "linear2")
+        + _ln("norm2", "norm2")
+    )
+    variables = _to_variables(tm, rules)
+    nq = 9
+    value, query, query_pos, ref2, _, mask = _inputs(seed=5, nq=nq)
+    rng = np.random.default_rng(6)
+    score_tgt = rng.normal(size=(B, nq, 13)).astype(np.float32)
+    fg_pre = rng.uniform(size=(B, nq)).astype(np.float32)
+
+    want = tm(
+        torch.from_numpy(query), torch.from_numpy(query_pos), torch.from_numpy(value),
+        torch.from_numpy(ref2), SHAPES, torch.from_numpy(mask),
+        torch.from_numpy(score_tgt), torch.from_numpy(fg_pre),
+    ).detach().numpy()
+    got = SalienceEncoderLayer(C, D_FFN, H, L, P, topk_sa=5).apply(
+        variables, jnp.asarray(query), jnp.asarray(query_pos), jnp.asarray(value),
+        jnp.asarray(ref2), tuple(SHAPES), jnp.asarray(mask),
+        jnp.asarray(score_tgt), jnp.asarray(fg_pre),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=1e-4)
+
+
+def test_decoder_layer_parity():
+    tm = _randomize(TorchDecoderLayer(), seed=7)
+    rules = (
+        _mha("self_attn", "self_attn", C) + _ln("norm2", "norm2")
+        + _msdeform("cross_attn", "cross_attn") + _ln("norm1", "norm1")
+        + _linear("linear1", "linear1") + _linear("linear2", "linear2")
+        + _ln("norm3", "norm3")
+    )
+    variables = _to_variables(tm, rules)
+    nq = 9
+    value, query, query_pos, _, ref4, mask = _inputs(seed=8, nq=nq)
+    # CDN-style block mask: first 4 queries cannot attend to the rest & v.v.
+    attn_mask = np.zeros((nq, nq), bool)
+    attn_mask[:4, 4:] = True
+    attn_mask[4:, :4] = True
+
+    want = tm(
+        torch.from_numpy(query), torch.from_numpy(query_pos), torch.from_numpy(ref4),
+        torch.from_numpy(value), SHAPES, torch.from_numpy(mask),
+        torch.from_numpy(attn_mask),
+    ).detach().numpy()
+    got = SalienceDecoderLayer(C, D_FFN, H, L, P).apply(
+        variables, jnp.asarray(query), jnp.asarray(query_pos), jnp.asarray(ref4),
+        jnp.asarray(value), tuple(SHAPES), jnp.asarray(mask), jnp.asarray(attn_mask),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# CDN parity
+# --------------------------------------------------------------------------
+
+
+def _torch_cdn_box_noise(boxes, rand_sign, rand_part, groups, scale):
+    """GenerateCDNQueries.apply_box_noise (denoising.py:200-229) with the
+    random draws injected; boxes is the (2G*M, 4) repeated cxcywh tensor."""
+    num_boxes = len(boxes) // groups // 2
+    positive_idx = torch.arange(num_boxes).unsqueeze(0).repeat(groups, 1)
+    positive_idx += torch.arange(groups).unsqueeze(1) * num_boxes * 2
+    negative_idx = positive_idx.flatten() + num_boxes
+    diff = torch.zeros_like(boxes)
+    diff[:, :2] = boxes[:, 2:] / 2
+    diff[:, 2:] = boxes[:, 2:] / 2
+    rand_part = rand_part.clone()
+    rand_part[negative_idx] += 1.0
+    rand_part *= rand_sign
+    cx, cy, w, h = boxes.unbind(-1)
+    xyxy = torch.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    xyxy = (xyxy + rand_part * diff * scale).clamp(min=0.0, max=1.0)
+    x0, y0, x1, y1 = xyxy.unbind(-1)
+    return torch.stack([(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0], -1)
+
+
+def test_cdn_box_noise_parity():
+    G, M, scale = 3, 5, 1.0
+    rng = np.random.default_rng(9)
+    wh = rng.uniform(0.05, 0.4, size=(M, 2))
+    cxcy = rng.uniform(0.3, 0.7, size=(M, 2))
+    boxes = np.concatenate([cxcy, wh], -1).astype(np.float32)
+    boxes_rep = np.tile(boxes, (2 * G, 1))  # reference's repeat(2G, 1)
+    sign = (rng.integers(0, 2, size=(2 * G * M, 4)) * 2 - 1).astype(np.float32)
+    part = rng.uniform(size=(2 * G * M, 4)).astype(np.float32)
+
+    want = _torch_cdn_box_noise(
+        torch.from_numpy(boxes_rep), torch.from_numpy(sign), torch.from_numpy(part),
+        G, scale,
+    ).numpy()
+
+    # ours operates on (B, 2G, M, 4) blocks; negative blocks are the odd ones
+    boxes_r = jnp.asarray(boxes_rep.reshape(1, 2 * G, M, 4))
+    sign_r = jnp.asarray(sign.reshape(1, 2 * G, M, 4))
+    part_r = jnp.asarray(part.reshape(1, 2 * G, M, 4))
+    is_neg = (jnp.arange(2 * G) % 2 == 1)[None, :, None, None]
+    got = cdn_box_noise(boxes_r, sign_r, part_r, is_neg, scale)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(2 * G * M, 4), want, rtol=RTOL, atol=ATOL
+    )
+
+
+def _torch_query_masks(max_gt_num_per_image, groups, num_queries):
+    """GenerateDNQueries.generate_query_masks (denoising.py:64-76)."""
+    noised_query_nums = max_gt_num_per_image * groups
+    tgt_size = noised_query_nums + num_queries
+    attn_mask = torch.zeros(tgt_size, tgt_size, dtype=torch.bool)
+    attn_mask[noised_query_nums:, :noised_query_nums] = True
+    for i in range(groups):
+        start = max_gt_num_per_image * i
+        end = max_gt_num_per_image * (i + 1)
+        attn_mask[start:end, :start] = True
+        attn_mask[start:end, end:noised_query_nums] = True
+    return attn_mask
+
+
+def test_cdn_attn_mask_parity():
+    G, M, nq = 4, 6, 20
+    want = _torch_query_masks(2 * M, G, nq).numpy()
+    got = cdn_attn_mask(G, 2 * M, nq)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("m", [1, 3, 5, 25, 100])
+def test_dn_match_indices_parity(m):
+    """base_detector.py:205-216 with an m-gt image: the live prefix of our
+    on-device indices must equal the reference's per-group meshgrid with the
+    reference's dynamic group count g = denoising_nums * m // m**2."""
+    from salience_detr_tpu.models.bricks.denoising import cdn_match_indices
+
+    denoising_nums = 100
+    g_ref = max(denoising_nums * m // max(m * m, 1), 1)
+    group_index, target_index = torch.meshgrid(
+        torch.arange(g_ref), torch.arange(m), indexing="ij"
+    )
+    # CDN group size is 2*m (max_gt_num_per_image * 2, denoising.py:328)
+    output_idx = (group_index * (2 * m) + target_index).flatten().numpy()
+    tgt_idx = target_index.flatten().numpy()
+
+    q, t, live = cdn_match_indices(
+        jnp.asarray(m, jnp.int32), jnp.asarray(g_ref, jnp.int32), denoising_nums
+    )
+    q, t, live = np.asarray(q), np.asarray(t), np.asarray(live)
+    n_live = live.sum()
+    assert n_live == g_ref * m
+    np.testing.assert_array_equal(q[live], output_idx)
+    np.testing.assert_array_equal(t[live], tgt_idx)
+
+
+@pytest.mark.parametrize("m,nq", [(1, 10), (4, 20), (7, 13)])
+def test_cdn_attn_mask_dynamic_matches_static(m, nq):
+    """The dynamic on-device mask must equal generate_query_masks
+    (denoising.py:64-76) on the live slot prefix, and isolate dead slots."""
+    from salience_detr_tpu.models.bricks.denoising import cdn_attn_mask_dynamic
+
+    denoising_nums = 8
+    g = max(denoising_nums // m, 1)
+    ndn_cap = 2 * denoising_nums
+    live = 2 * g * m
+    want = _torch_query_masks(2 * m, g, nq).numpy()  # (live+nq, live+nq)
+
+    got = np.asarray(
+        cdn_attn_mask_dynamic(
+            jnp.asarray(m, jnp.int32), jnp.asarray(g, jnp.int32), ndn_cap, nq
+        )
+    )
+    # live dn block + matching rows/cols, with dead slots sliced out
+    keep = np.r_[0:live, ndn_cap : ndn_cap + nq]
+    np.testing.assert_array_equal(got[np.ix_(keep, keep)], want)
+    # dead slots: blocked everywhere except self, and invisible to live rows
+    dead = np.r_[live:ndn_cap]
+    if len(dead):
+        assert got[np.ix_(np.r_[0:live], dead)].all()  # live rows can't see dead
+        assert (got[dead][:, dead] | np.eye(len(dead), dtype=bool)).all()
+
+
+def test_cdn_zero_noise_slot_content():
+    """With zero label/box noise the slots must hold exactly the reference's
+    layout (denoising.py:282-325): block b = (group, pos/neg) at rows
+    [b*m, b*m + n_i), label embedding + inverse_sigmoid(box), zeros in
+    padding."""
+    from salience_detr_tpu.models.bricks.denoising import GenerateCDNQueries
+    from salience_detr_tpu.ops.misc import inverse_sigmoid as jinv
+
+    gen = GenerateCDNQueries(
+        num_classes=7, label_embed_dim=8, denoising_nums=6,
+        label_noise_prob=0.0, box_noise_scale=0.0,
+    )
+    B, M = 2, 5
+    n = [3, 2]
+    rng = np.random.default_rng(11)
+    labels = rng.integers(0, 7, (B, M)).astype(np.int32)
+    wh = rng.uniform(0.1, 0.3, (B, M, 2))
+    cxy = rng.uniform(0.3, 0.6, (B, M, 2))
+    boxes = np.concatenate([cxy, wh], -1).astype(np.float32)
+    valid = np.zeros((B, M), bool)
+    valid[0, :3] = True
+    valid[1, :2] = True
+
+    variables = gen.init(
+        jax.random.PRNGKey(0), jnp.asarray(labels), jnp.asarray(boxes),
+        jnp.asarray(valid), jax.random.PRNGKey(1),
+    )
+    label_q, box_q, m, g = gen.apply(
+        variables, jnp.asarray(labels), jnp.asarray(boxes), jnp.asarray(valid),
+        jax.random.PRNGKey(2),
+    )
+    emb = np.asarray(variables["params"]["label_encoder"])
+    m, g = int(m), int(g)
+    assert m == 3 and g == 2  # reference: 6 * 3 // 9 = 2
+
+    want_box = np.zeros((B, gen.num_denoising_queries, 4), np.float32)
+    want_lab = np.zeros((B, gen.num_denoising_queries, 8), np.float32)
+    for b in range(B):
+        for blk in range(2 * g):
+            for j in range(n[b]):
+                s = blk * m + j
+                want_box[b, s] = np.asarray(jinv(jnp.asarray(boxes[b, j])))
+                want_lab[b, s] = emb[labels[b, j]]
+    np.testing.assert_allclose(np.asarray(box_q), want_box, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(label_q), want_lab, rtol=1e-5, atol=1e-6)
