@@ -18,3 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# XLA:CPU's oneDNN matmuls take reduced-precision (bf16) paths on capable
+# hosts; differential tests compare against fp64/fp32 torch+numpy specs, so
+# pin full-precision accumulation
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -11,6 +11,8 @@ from salience_detr_tpu.models.backbones.focalnet import FocalNetBackbone
 from salience_detr_tpu.models.backbones.resnet import ResNetBackbone
 from salience_detr_tpu.models.backbones.swin import SwinTransformerBackbone
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast lane
+
 
 def shapes_of(module, hw=(64, 96)):
     x = jnp.zeros((1, *hw, 3))

@@ -8,6 +8,7 @@ ONNX-verification tolerances (rtol 1e-3 / atol 1e-5)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -17,6 +18,8 @@ from salience_detr_tpu.ops.deform_attn import (
     ms_deform_attn_core,
     ms_deform_attn_core_shared,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast lane
 
 SHAPES = [(8, 12), (4, 6), (2, 3)]
 S = sum(h * w for h, w in SHAPES)

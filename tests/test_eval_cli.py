@@ -9,6 +9,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast lane
+
 
 @pytest.fixture
 def synthetic_val(tmp_path):

@@ -4,6 +4,8 @@ mesh (SURVEY.md §4's answer to 'test distributed without a cluster')."""
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast lane
+
 
 def test_dryrun_multichip_8():
     if jax.device_count() < 8:

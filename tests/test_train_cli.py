@@ -10,6 +10,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast lane
+
 
 @pytest.fixture
 def synthetic_coco(tmp_path):
@@ -90,3 +92,72 @@ def test_train_cli_dry_run(synthetic_coco, tmp_path):
     out_dir = tmp_path / "out"
     assert (out_dir / "label_names.txt").exists()
     assert (out_dir / "checkpoints").exists()
+
+
+def test_train_resume_e2e(synthetic_coco, tmp_path):
+    """Kill-and-resume: epoch 0 trained + checkpointed, a fresh process with
+    resume_from_checkpoint restores step/optimizer state and continues at
+    epoch 1 (the reference's resume path, main.py:64-78,149-154)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    model_cfg = tmp_path / "tiny_model.py"
+    model_cfg.write_text(
+        "import jax.numpy as jnp\n"
+        "from salience_detr_tpu.models.factory import SalienceDETRConfig\n"
+        "model_config = SalienceDETRConfig(\n"
+        "    backbone='resnet18', embed_dim=32, num_classes=5, num_queries=24,\n"
+        "    num_encoder_layers=2, num_decoder_layers=2, num_heads=4,\n"
+        "    dim_feedforward=64, topk_sa=12, layer_filter_ratio=(1.0, 0.5),\n"
+        "    denoising_nums=4, dn_max_gt=2, max_num_embedding=16,\n"
+        "    shared_sampling_locations=True, min_size=96, max_size=128,\n"
+        "    select_box_nums_for_evaluation=20,\n"
+        ")\n"
+    )
+
+    def write_train_cfg(resume):
+        train_cfg = tmp_path / f"tiny_train_{resume}.py"
+        train_cfg.write_text(
+            f"num_epochs = 2\n"
+            f"batch_size = 2\n"
+            f"num_workers = 2\n"
+            f"print_freq = 1\n"
+            f"max_norm = 0.1\n"
+            f"output_dir = r'{tmp_path / 'out'}'\n"
+            f"train_transform = 'hflip'\n"
+            f"train_img_folder = r'{synthetic_coco / 'train'}'\n"
+            f"train_ann_file = r'{synthetic_coco / 'train.json'}'\n"
+            f"test_img_folder = r'{synthetic_coco / 'val'}'\n"
+            f"test_ann_file = r'{synthetic_coco / 'val.json'}'\n"
+            f"model_path = r'{model_cfg}'\n"
+            f"resume_from_checkpoint = {resume}\n"
+            f"learning_rate = 1e-4\n"
+            f"train_canvas = (96, 128)\n"
+            f"max_gt = 8\n"
+        )
+        return train_cfg
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+
+    def run(cfg_file):
+        # dry-run-steps == steps_per_epoch (8 imgs / batch 2): exactly one
+        # full epoch per process, checkpoint saved, then exit ("killed")
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "train.py"),
+             "--config-file", str(cfg_file), "--seed", "0",
+             "--mixed-precision", "no", "--dry-run-steps", "4"],
+            capture_output=True, text=True, timeout=3000, env=env, cwd=repo,
+        )
+
+    r1 = run(write_train_cfg(False))
+    assert r1.returncode == 0, r1.stderr[-4000:]
+    ckpt_root = tmp_path / "out" / "checkpoints"
+    assert (ckpt_root / "0").exists(), list(ckpt_root.iterdir())
+
+    r2 = run(write_train_cfg(True))
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    log_text = (tmp_path / "out" / "log.rank0.txt").read_text()
+    assert "Resumed at epoch 1" in log_text, log_text[-2000:]
+    assert (ckpt_root / "1").exists(), list(ckpt_root.iterdir())
