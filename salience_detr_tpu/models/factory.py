@@ -98,7 +98,7 @@ def build_backbone(cfg: SalienceDETRConfig):
         return FocalNetBackbone(
             arch=name, return_indices=cfg.backbone_return_indices, dtype=cfg.dtype
         )
-    if name.startswith("vit"):
+    if name.startswith(("vit", "eva")):
         from salience_detr_tpu.models.backbones.vit import VisionTransformerBackbone
 
         return VisionTransformerBackbone(

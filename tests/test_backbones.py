@@ -77,6 +77,45 @@ class TestViT:
         assert feats[2].shape == (1, 4, 6, 64)
         assert feats[3].shape == (1, 2, 3, 64)
 
+    def test_eva02_shapes(self):
+        from salience_detr_tpu.models.backbones.vit import VisionTransformerBackbone
+
+        bb = VisionTransformerBackbone(
+            arch="eva_02_vit_b_4attn_1024", return_indices=(1, 2, 3), out_channels=64
+        )
+        feats = shapes_of(bb, hw=(64, 96))
+        assert feats[1].shape == (1, 8, 12, 64)
+        assert feats[2].shape == (1, 4, 6, 64)
+        assert feats[3].shape == (1, 2, 3, 64)
+
+    def test_rope_tables_match_reference_math(self):
+        """VisionRotaryEmbeddingFast (reference vit.py:76-115) restated in
+        numpy for a square grid; our tables must match exactly."""
+        from salience_detr_tpu.models.backbones.vit import apply_rope, rope_tables
+
+        ft, pt, hd = 5, 16, 8  # head_dim 8 -> rope dim 4
+        dim = hd // 2
+        freqs = 1.0 / (10000.0 ** (np.arange(0, dim, 2)[: dim // 2] / dim))
+        t = np.arange(ft) / ft * pt
+        tg = np.broadcast_to(t[None, :], (ft, ft))  # reference t.expand
+        t2 = np.stack([tg.T, tg], -1)  # torch.stack([t.T, t], -1)
+        fr = t2[..., None] * freqs
+        fr = np.repeat(fr, 2, axis=-1).reshape(ft, ft, -1)
+        want_cos = np.cos(fr).reshape(ft * ft, -1)
+        want_sin = np.sin(fr).reshape(ft * ft, -1)
+        cos, sin = rope_tables(ft, ft, hd, pt)
+        np.testing.assert_allclose(np.asarray(cos), want_cos, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sin), want_sin, rtol=1e-6)
+
+        # rope application: t*cos + rotate_half(t)*sin with (-x2, x1) pairs
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(2, ft * ft, 3, hd)).astype(np.float32)
+        qr = q.reshape(2, ft * ft, 3, hd // 2, 2)
+        rot = np.stack([-qr[..., 1], qr[..., 0]], -1).reshape(q.shape)
+        want = q * want_cos[None, :, None, :] + rot * want_sin[None, :, None, :]
+        got = apply_rope(jnp.asarray(q), cos, sin)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
 
 class TestBackboneForward:
     def test_swin_tiny_forward_finite(self):
