@@ -54,6 +54,17 @@ def pack_batch(
         b = np.asarray(s["boxes"], np.float32)[:max_gt]
         n = len(b)
         if n:
+            # degenerate-box runtime check (the reference asserts in-model,
+            # base_detector.py:100-112; here the host loader is where a real
+            # error with the offending box can be raised)
+            degenerate = (b[:, 2:] <= b[:, :2]).any(axis=1)
+            if degenerate.any():
+                bad = b[int(np.argmax(degenerate))].tolist()
+                raise ValueError(
+                    "All bounding boxes should have positive height and "
+                    f"width. Found invalid box {bad} for sample index {i} "
+                    f"(image_id={s.get('image_id', i)})."
+                )
             # xyxy absolute -> normalized cxcywh on the VALID image area
             cx = (b[:, 0] + b[:, 2]) / 2 / w
             cy = (b[:, 1] + b[:, 3]) / 2 / h

@@ -152,6 +152,15 @@ class TestPackBatch:
             rtol=1e-5,
         )
 
+    def test_degenerate_box_raises(self):
+        """Reference's in-model degenerate-box assert (base_detector.py:
+        100-112) lives in the host loader here, where a real error can name
+        the offending box."""
+        s = sample(h=80, w=120, n=2)
+        s["boxes"][1] = [50.0, 40.0, 50.0, 60.0]  # zero width
+        with pytest.raises(ValueError, match="positive height and width"):
+            pack_batch([s], canvas_hw=(96, 128), max_gt=4)
+
 
 class TestCocoDataset:
     @pytest.fixture
