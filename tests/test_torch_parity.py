@@ -253,6 +253,7 @@ def test_mask_predictor_parity():
     np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ref_dim", [2, 4])
 def test_msda_module_parity(ref_dim):
     tm = _randomize(TorchMSDA(), seed=2)
@@ -273,6 +274,7 @@ def test_msda_module_parity(ref_dim):
     np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_encoder_layer_parity():
     tm = _randomize(TorchEncoderLayer(), seed=4)
     rules = (
@@ -301,6 +303,7 @@ def test_encoder_layer_parity():
     np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_decoder_layer_parity():
     tm = _randomize(TorchDecoderLayer(), seed=7)
     rules = (

@@ -1,0 +1,173 @@
+"""Training-quality validation of the static-shape reformulations
+(SURVEY.md §7.3.6 / VERDICT weak #5): train the full stack on a synthetic
+but *detectable* dataset (colored rectangles on noise) long enough to learn,
+then measure real mAP with the native COCO evaluator.
+
+What this validates beyond tools/overfit_check.py (loss-only):
+* the dynamic-CDN denoising curriculum (exact reference group counts),
+* the static grid-NMS two-stage selection (slot filling when survivors run
+  short),
+* padded-canvas salience budgets with per-image focus counts,
+all the way to detection quality, not just a decreasing loss.
+
+Usage: JAX_PLATFORMS=cpu python tools/validate_static_shapes.py [--steps 600]
+Prints one JSON line {"ap": ..., "ap50": ..., "steps": N, "passed": bool}.
+"""
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+import numpy as np
+
+
+CANVAS = (128, 128)
+NUM_CLASSES = 4  # 3 fg colors + background id 0 unused
+COLORS = {1: (220, 40, 40), 2: (40, 220, 40), 3: (40, 40, 220)}
+
+
+def make_dataset(root, n_images, seed):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    images, annotations = [], []
+    aid = 0
+    for i in range(n_images):
+        h, w = CANVAS
+        img = rng.integers(0, 80, (h, w, 3), dtype=np.uint8)
+        for _ in range(int(rng.integers(1, 4))):
+            cls = int(rng.integers(1, NUM_CLASSES))
+            bw, bh = rng.integers(18, 48, 2)
+            x = int(rng.integers(0, w - bw))
+            y = int(rng.integers(0, h - bh))
+            img[y : y + bh, x : x + bw] = COLORS[cls]
+            annotations.append({
+                "id": aid, "image_id": i, "category_id": cls,
+                "bbox": [float(x), float(y), float(bw), float(bh)],
+                "area": float(bw * bh), "iscrowd": 0,
+            })
+            aid += 1
+        cv2.imwrite(os.path.join(img_dir, f"{i}.jpg"), img)
+        images.append({"id": i, "file_name": f"{i}.jpg", "height": h, "width": w})
+    ann = {
+        "images": images, "annotations": annotations,
+        "categories": [{"id": c, "name": f"c{c}"} for c in COLORS],
+    }
+    ann_file = os.path.join(root, "ann.json")
+    with open(ann_file, "w") as f:
+        json.dump(ann, f)
+    return img_dir, ann_file
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--workdir", default="/tmp/static_shape_validation")
+    p.add_argument("--min-ap50", type=float, default=0.30)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from salience_detr_tpu.data.coco import CocoDetection
+    from salience_detr_tpu.data.loader import DetectionLoader
+    from salience_detr_tpu.data.transforms import PRESETS
+    from salience_detr_tpu.engine.optim import build_optimizer, make_lr_schedule
+    from salience_detr_tpu.models.backbones.resnet import frozen_param_predicate
+    from salience_detr_tpu.models.bricks.criterion import Targets, default_weight_dict
+    from salience_detr_tpu.models.detectors.salience_detr import normalize_images
+    from salience_detr_tpu.models.factory import SalienceDETRConfig, build_salience_detr
+    from salience_detr_tpu.parallel.train_step import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+    from salience_detr_tpu.utils.coco_eval import CocoEvaluator
+
+    os.makedirs(args.workdir, exist_ok=True)
+    img_dir, ann_file = make_dataset(args.workdir, n_images=48, seed=0)
+
+    cfg = SalienceDETRConfig(
+        backbone="resnet18", embed_dim=64, num_classes=NUM_CLASSES,
+        num_queries=30, num_encoder_layers=2, num_decoder_layers=2,
+        num_heads=4, dim_feedforward=96, topk_sa=16,
+        layer_filter_ratio=(1.0, 0.5), denoising_nums=8,
+        max_num_embedding=32, shared_sampling_locations=True,
+        backbone_freeze_indices=(), min_size=CANVAS[0], max_size=CANVAS[1],
+        select_box_nums_for_evaluation=20,
+    )
+    model, crit, sal, post = build_salience_detr(cfg)
+
+    train_ds = CocoDetection(img_dir, ann_file, transforms=PRESETS["hflip"], train=True)
+    val_ds = CocoDetection(img_dir, ann_file)
+    M = 8
+    train_loader = DetectionLoader(
+        train_ds, args.batch, canvas_hw=CANVAS, max_gt=M, shuffle=True,
+        seed=0, num_workers=2,
+    )
+    val_loader = DetectionLoader(
+        val_ds, args.batch, canvas_hw=CANVAS, max_gt=M, shuffle=False,
+        drop_last=False, num_workers=2,
+        eval_min_size=cfg.min_size, eval_max_size=cfg.max_size,
+    )
+
+    B, (H, W) = args.batch, CANVAS
+    images0 = jnp.zeros((B, H, W, 3), jnp.float32)
+    sizes0 = jnp.full((B, 2), 32, jnp.int32)
+    targets0 = Targets(
+        jnp.zeros((B, M), jnp.int32), jnp.full((B, M, 4), 0.5), jnp.zeros((B, M), bool)
+    )
+    schedule = make_lr_schedule(3e-4, steps_per_epoch=10**6, warmup_steps=50)
+    params0 = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "denoising": jax.random.PRNGKey(1)},
+            images0, sizes0, targets0, train=True,
+        )
+    )["params"]
+    tx = build_optimizer(params0, schedule, max_norm=0.5,
+                         frozen_predicate=frozen_param_predicate(()))
+    state = create_train_state(model, tx, images0, sizes0, targets0)
+    step = make_train_step(model, crit, sal, tx, default_weight_dict(cfg.num_decoder_layers))
+    eval_step = make_eval_step(model, post)
+
+    def to_device(batch):
+        out = dict(batch)
+        out["images"] = normalize_images(jnp.asarray(batch["images"], jnp.float32) / 255.0)
+        return out
+
+    i = 0
+    epoch = 0
+    key = jax.random.PRNGKey(7)
+    while i < args.steps:
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            state, metrics = step(state, to_device(batch), jax.random.fold_in(key, i))
+            if i % 50 == 0:
+                print(f"step {i:4d}: loss {float(metrics['loss']):.3f}", flush=True)
+            i += 1
+            if i >= args.steps:
+                break
+        epoch += 1
+
+    from salience_detr_tpu.engine.train import evaluate
+
+    evaluator = CocoEvaluator(val_ds.coco)
+    stats = evaluate(eval_step, state, map(to_device, iter(val_loader)), evaluator)
+    result = {
+        "ap": round(float(stats["AP"]), 4),
+        "ap50": round(float(stats["AP50"]), 4),
+        "steps": args.steps,
+        "passed": bool(stats["AP50"] >= args.min_ap50),
+    }
+    print(json.dumps(result))
+    if not result["passed"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
