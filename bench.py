@@ -101,7 +101,10 @@ def main():
     batch = 4
     H, W = 800, 1344
     iters = 10
-    cfg = SalienceDETRConfig(dtype=jnp.bfloat16, shared_sampling_locations=True)
+    cfg = SalienceDETRConfig(
+        dtype=jnp.bfloat16, shared_sampling_locations=True,
+        remat_policy=os.environ.get("REMAT_POLICY", "full"),
+    )
     model, criterion, sal_criterion, _ = build_salience_detr(cfg)
 
     rng = np.random.default_rng(0)

@@ -230,6 +230,10 @@ class SalienceTransformer(nn.Module):
     # attention's gathered rows (~1.5GB/layer at the 800x1344 canvas) would
     # otherwise be saved as residuals and exhaust HBM
     remat_layers: bool = True
+    # "full": recompute everything per layer (lowest memory);
+    # "selective": save all residuals except the named msda gathers — fewer
+    # recomputed matmuls per backward at higher activation memory
+    remat_policy: str = "full"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -255,11 +259,13 @@ class SalienceTransformer(nn.Module):
             (self.two_stage_num_proposals, self.embed_dim),
         )
 
-        # full remat of each layer: selective policies (save-anything-except
-        # the gathered rows) still OOM on 16GB HBM because the fp32 decoder
-        # attention logits and fusion temps get saved; recompute everything
+        remat_kwargs = {}
+        if self.remat_policy == "selective":
+            remat_kwargs["policy"] = jax.checkpoint_policies.save_anything_except_these_names(
+                "msda_gather"
+            )
         enc_cls = (
-            nn.remat(SalienceEncoderLayer, static_argnums=(5,))
+            nn.remat(SalienceEncoderLayer, static_argnums=(5,), **remat_kwargs)
             if self.remat_layers
             else SalienceEncoderLayer
         )
@@ -283,7 +289,7 @@ class SalienceTransformer(nn.Module):
         )
 
         dec_cls = (
-            nn.remat(SalienceDecoderLayer, static_argnums=(5,))
+            nn.remat(SalienceDecoderLayer, static_argnums=(5,), **remat_kwargs)
             if self.remat_layers
             else SalienceDecoderLayer
         )

@@ -70,6 +70,8 @@ class SalienceDETRConfig:
     select_box_nums_for_evaluation: int = 300
     # numerics
     dtype: Any = jnp.float32
+    # backward rematerialization: "full" | "selective" (see SalienceTransformer)
+    remat_policy: str = "full"
     # parallelism
     axis_name: Optional[str] = None  # data-parallel axis for BN stat sync
 
@@ -140,6 +142,7 @@ def build_salience_detr(cfg: SalienceDETRConfig):
         max_num_embedding=cfg.max_num_embedding,
         neck=repnet,
         shared_locations=cfg.shared_sampling_locations,
+        remat_policy=cfg.remat_policy,
         dtype=cfg.dtype,
     )
     strides = tuple(8 * 2**i for i in range(cfg.num_feature_levels))

@@ -18,10 +18,16 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.ad_checkpoint import checkpoint_name
+
+# A/B experiment knob (tools/bench_msda_focus.py): checkpoint_name is inert in
+# eval but can fence fusions
+_SKIP_CKPT_NAME = os.environ.get("MSDA_SKIP_CKPT_NAME", "0") == "1"
 
 
 def ms_deform_attn_core(
@@ -196,9 +202,7 @@ def ms_deform_attn_core_shared(
     base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
     idx_flat = idx_all + base
     value_flat = value.reshape(B * S, C)
-    attn_t = jnp.transpose(
-        attention_weights.astype(jnp.float32), (0, 1, 3, 4, 2)
-    )  # (B, Q, L, P, H)
+    attn_t = attention_weights.astype(jnp.float32)  # (B, Q, H, L, P)
 
     def reduce_chunk(idx_c, cw_c, attn_c):
         """Two-stage reduce, measured 1.45x faster than the attention-folded
@@ -207,18 +211,19 @@ def ms_deform_attn_core_shared(
         per-head attention.  Gather width does not matter on this chip (512B
         to 2KB rows time identically), so plain corner rows are gathered."""
         Qc = idx_c.shape[1]
-        g = jnp.take(value_flat, idx_c.reshape(-1), axis=0)
-        # named for the remat policy: the gathered rows (~1.5GB/layer) are the
-        # one activation we always recompute instead of saving
-        g = checkpoint_name(g, "msda_gather")
-        g = g.reshape(B, Qc, L, 4, P, C)
-        cw6 = cw_c.reshape(B, Qc, L, 4, P)[..., None].astype(jnp.float32)
-        sampled = (g.astype(jnp.float32) * cw6).sum(axis=3)  # (B, Qc, L, P, C)
+        # indices are clamped in-bounds above; the default fill-mode take adds
+        # a compare+select pass over the gathered gigabytes (seen as 12ms
+        # select_convert fusions in the device trace)
+        g = value_flat.at[idx_c.reshape(-1)].get(mode="promise_in_bounds")
+        if not _SKIP_CKPT_NAME:
+            # named for the remat policy: the gathered rows (~1.5GB/layer) are
+            # the one activation we always recompute instead of saving
+            g = checkpoint_name(g, "msda_gather")
+        g = g.reshape(B, Qc, L, 4, P, C).astype(jnp.float32)
+        cw5 = cw_c.reshape(B, Qc, L, 4, P)
+        sampled = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw5, g)  # (B, Qc, L, P, C)
         sampled = sampled.reshape(B, Qc, L, P, H, D)
-        out_c = jnp.einsum(
-            "bqlph,bqlphd->bqhd", attn_c, sampled,
-            preferred_element_type=jnp.float32,
-        )
+        out_c = jnp.einsum("bqhlp,bqlphd->bqhd", attn_c, sampled)
         return out_c.reshape(B, Qc, C)
 
     # chunk over queries so the materialized corner rows stay bounded

@@ -33,12 +33,17 @@ import numpy as np
 from salience_detr_tpu.ops.boxes import box_iou_pairwise
 
 
-def _greedy_fixpoint(conflict_with_higher, num_candidates: int):
+def _greedy_fixpoint(conflict_with_higher, num_candidates: int, unroll: int = 8):
     """Iterate keep[i] = !any_j (rank_j < rank_i && conflict && keep[j]).
 
     conflict_with_higher(keep) -> bool (n,): whether each candidate currently
     has a higher-ranked *kept* conflicting candidate.  Candidates must be
     supplied in rank (descending score) order.
+
+    ``unroll`` relaxation steps run per while iteration: the per-step compute
+    is tiny, so loop-condition overhead dominates wall time on long conflict
+    chains (a 16 ms while in the device trace before unrolling).  Extra steps
+    past the fixpoint are no-ops, so the result is unchanged.
     """
 
     def cond(state):
@@ -47,8 +52,10 @@ def _greedy_fixpoint(conflict_with_higher, num_candidates: int):
 
     def body(state):
         keep, _, it = state
-        new_keep = ~conflict_with_higher(keep)
-        return new_keep, keep, it + 1
+        prev = keep
+        for _ in range(unroll):
+            keep = ~conflict_with_higher(keep)
+        return keep, prev, it + unroll
 
     keep0 = jnp.ones((num_candidates,), bool)
     prev0 = jnp.zeros((num_candidates,), bool)

@@ -9,6 +9,7 @@ util/utils.py:250-269 (HighestCheckpoint best-ap snapshots), :370-423
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from typing import Any, Dict, Optional
@@ -36,9 +37,26 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state: Any, force: bool = False):
+    def save(self, step: int, state: Any, force: bool = False, metadata: Optional[Dict] = None):
         self.manager.save(step, args=ocp.args.StandardSave(state), force=force)
         self.manager.wait_until_finished()
+        if metadata is not None:
+            self.write_metadata(metadata)
+
+    def write_metadata(self, metadata: Dict):
+        """Run metadata (class vocabulary etc.) riding with the checkpoints —
+        the reference stores int-encoded class names inside the .pth
+        (main.py:139-141, util/misc.py:190-223); here a JSON sidecar makes the
+        checkpoint directory self-describing."""
+        with open(os.path.join(self.directory, "metadata.json"), "w") as f:
+            json.dump(metadata, f)
+
+    def read_metadata(self) -> Optional[Dict]:
+        path = os.path.join(self.directory, "metadata.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()

@@ -72,3 +72,15 @@ class TestCheckpoint:
         assert len(mismatches) == 2
         np.testing.assert_allclose(new["dense"]["kernel"], 0.0)
         np.testing.assert_allclose(new["norm"]["scale"], 1.0)
+
+
+def test_metadata_sidecar(tmp_path):
+    """Class vocabulary rides with the checkpoints (the reference's in-.pth
+    _classes_ buffer, main.py:139-141)."""
+    from salience_detr_tpu.utils.checkpoint import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path / "ck"))
+    assert m.read_metadata() is None
+    m.write_metadata({"class_names": {"1": "cat", "2": "dog"}, "seed": 3})
+    got = m.read_metadata()
+    assert got["class_names"]["2"] == "dog" and got["seed"] == 3

@@ -402,6 +402,124 @@ def mulsum_pair(value, locs, w):
     return out
 
 
+def corners_pmajor(locs):
+    """Flat corner indices/weights ordered (level, point, corner) so the
+    gathered rows reshape to (B, Q, L, P*4, C) with a T(8,128)-compatible
+    16-wide second-minor dim — NO retile copy (a (…,4,P,C) view forces a
+    T(4,128) retile of the whole gather output, ~16 ms/layer in the trace).
+    returns idx (B,Q,L,P,4), cw (B,Q,L,P,4)."""
+    idx_parts, w_parts = [], []
+    start = 0
+    for lvl, (h, w_) in enumerate(SHAPES):
+        loc = locs[:, :, lvl]
+        x = loc[..., 0] * w_ - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x); y0 = jnp.floor(y)
+        fx = x - x0; fy = y - y0
+        x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
+        li, lw = [], []
+        for dy, wy in ((0, 1 - fy), (1, fy)):
+            for dx, wx in ((0, 1 - fx), (1, fx)):
+                cx = x0i + dx; cy = y0i + dy
+                valid = (cx >= 0) & (cx < w_) & (cy >= 0) & (cy < h)
+                li.append(start + jnp.clip(cy, 0, h - 1) * w_ + jnp.clip(cx, 0, w_ - 1))
+                lw.append(jnp.where(valid, wx * wy, 0.0))
+        idx_parts.append(jnp.stack(li, -1))  # (B,Q,P,4)
+        w_parts.append(jnp.stack(lw, -1))
+        start += h * w_
+    return jnp.stack(idx_parts, 2), jnp.stack(w_parts, 2)  # (B,Q,L,P,4)
+
+
+def fused16(value, locs, w):
+    """ONE fused multiply-reduce over a (L, 16, C) tail: corner weights and
+    lane-expanded per-head attention folded into a single weight broadcast,
+    reduced over the 16 = P*4 axis per level, then the 4 levels summed."""
+    Q = locs.shape[1]
+    idx, cw = corners_pmajor(locs)  # (B,Q,L,P,4)
+    base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None, None]
+    g = jnp.take(value.reshape(B * S, C), (idx + base).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, P * 4, C)
+    attnT = jnp.transpose(w, (0, 1, 3, 4, 2))  # (B,Q,L,P,H)
+    attn_c = jnp.repeat(attnT, D, axis=-1)  # (B,Q,L,P,C) head-major lanes
+    attn16 = jnp.repeat(attn_c, 4, axis=3).reshape(B, Q, L, P * 4, C)
+    w16 = cw.reshape(B, Q, L, P * 4, 1) * attn16  # broadcasts fuse
+    out = (g * w16.astype(jnp.float32)).sum(axis=(2, 3))  # (B,Q,C) f32
+    return out
+
+
+def fused16_2(value, locs, w):
+    """fused16 but per-level accumulation (keeps every reduce at a 16-wide
+    second-minor dim; no (B,Q,L,C) T(4,128) intermediate)."""
+    Q = locs.shape[1]
+    idx, cw = corners_pmajor(locs)
+    base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None, None]
+    g = jnp.take(value.reshape(B * S, C), (idx + base).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, P * 4, C)
+    attnT = jnp.transpose(w, (0, 1, 3, 4, 2))  # (B,Q,L,P,H)
+    out = jnp.zeros((B, Q, C), jnp.float32)
+    for lvl in range(L):
+        attn_c = jnp.repeat(attnT[:, :, lvl], D, axis=-1)  # (B,Q,P,C)
+        attn16 = jnp.repeat(attn_c, 4, axis=2)  # (B,Q,P*4,C)
+        w16 = cw[:, :, lvl].reshape(B, Q, P * 4, 1) * attn16
+        out = out + (g[:, :, lvl] * w16.astype(jnp.float32)).sum(axis=2)
+    return out
+
+
+def two_stage_slices(value, locs, w):
+    """Two-stage with NO 6-D view of the gathered rows: stage 1 multiplies by
+    the 16 corner scalars on the (B,Q,L,16,C) view (T(8,128)-compatible) and
+    collapses corners via 4 contiguous slice-adds (corner-major blocks of P),
+    so the 1.5GB tensor is read once with no retile copy; stage 2 is the
+    small per-head einsum."""
+    Q = locs.shape[1]
+    idx, cw = corners_flat(locs)  # (B,Q,L*4,P) — rows (l, corner, p)
+    base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    g = jnp.take(value.reshape(B * S, C), (idx + base).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, 16, C)
+    gw = g.astype(jnp.float32) * cw.reshape(B, Q, L, 16)[..., None]
+    sampled = gw[:, :, :, 0:4] + gw[:, :, :, 4:8] + gw[:, :, :, 8:12] + gw[:, :, :, 12:16]
+    sampled = sampled.reshape(B, Q, L, P, H, D)  # (B,Q,L,p,C) -> heads
+    attnT = jnp.transpose(w, (0, 1, 3, 4, 2))  # (B,Q,L,P,H)
+    out = jnp.einsum(
+        "bqlph,bqlphd->bqhd", attnT, sampled, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, Q, C)
+
+
+def two_stage_slices2(value, locs, w):
+    """Slice-add stage 1 + lane-expanded mult-sum stage 2 (no einsum)."""
+    Q = locs.shape[1]
+    idx, cw = corners_flat(locs)
+    base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    g = jnp.take(value.reshape(B * S, C), (idx + base).reshape(-1), axis=0)
+    g = g.reshape(B, Q, L, 16, C)
+    gw = g.astype(jnp.float32) * cw.reshape(B, Q, L, 16)[..., None]
+    sampled = gw[:, :, :, 0:4] + gw[:, :, :, 4:8] + gw[:, :, :, 8:12] + gw[:, :, :, 12:16]
+    sampled = sampled.reshape(B, Q, L * P, C)
+    attn_flat = jnp.transpose(w, (0, 1, 3, 4, 2)).reshape(B, Q, L * P, H)
+    attn_c = jnp.repeat(attn_flat, D, axis=-1)  # (B,Q,16,C) head-major
+    return (sampled * attn_c).sum(axis=2)
+
+
+def int8_rows(value, locs, w):
+    """Channel-wise symmetric int8 value rows: halves the gathered bytes (the
+    measured ~83 GB/s gather cap is byte-bound), dequant scale applied once on
+    the tiny (B,Q,C) output."""
+    Q = locs.shape[1]
+    scale = jnp.max(jnp.abs(value.astype(jnp.float32)), axis=(0, 1)) / 127.0  # (C,)
+    scale = jnp.maximum(scale, 1e-12)
+    vq = jnp.clip(jnp.round(value.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    idx, cw = corners_flat(locs)  # (B,Q,L*4,P)
+    base = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    g = vq.reshape(B * S, C).at[(idx + base).reshape(-1)].get(mode="promise_in_bounds")
+    g = g.reshape(B, Q, L, 4, P, C).astype(jnp.float32)
+    cw5 = cw.reshape(B, Q, L, 4, P)
+    sampled = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw5, g)
+    sampled = sampled.reshape(B, Q, L, P, H, D)
+    out = jnp.einsum("bqhlp,bqlphd->bqhd", w, sampled)
+    return out.reshape(B, Q, C) * scale[None, None, :]
+
+
 def check(fn, Q=256):
     value, locs, w = make_inputs(Q)
     ref = ms_deform_attn_core_shared(value, SHAPES, locs, w, H)

@@ -32,6 +32,11 @@ def main():
         "two_stage_pair": m2.two_stage_pair,
         "two_stage_pair2": m2.two_stage_pair2,
         "mulsum_pair": m2.mulsum_pair,
+        "fused16": m2.fused16,
+        "fused16_2": m2.fused16_2,
+        "two_stage_slices": m2.two_stage_slices,
+        "two_stage_slices2": m2.two_stage_slices2,
+        "int8_rows": m2.int8_rows,
     }
     if os.environ.get("CHECK", "0") == "1":
         for name in which:

@@ -194,7 +194,11 @@ def main():
                 print_freq=cfg.get("print_freq", 50), logger=logger,
                 tracker=tracker.log, global_step=global_step,
             )
-            ckpt.save(epoch, jax.device_get(state))
+            ckpt.save(
+                epoch, jax.device_get(state),
+                metadata={"class_names": names, "model_path": cfg.model_path,
+                          "seed": seed},
+            )
 
             evaluator = CocoEvaluator(test_dataset.coco)
             eval_loader = DevicePrefetcher(test_loader, device_put)
