@@ -162,9 +162,13 @@ class MultiheadAttention(nn.Module):
         head_dim = C // H
 
         def in_proj(x, idx, name):
+            # torch initializes the MERGED (3C, C) in_proj with xavier-uniform
+            # (limit sqrt(6/4C)); a per-projection xavier over (C, C) would be
+            # sqrt(2) larger.  variance_scaling(0.5, fan_avg, uniform) gives
+            # limit sqrt(3*0.5/C) = sqrt(6/4C) — exact from-scratch parity.
             return nn.Dense(
                 C,
-                kernel_init=nn.initializers.xavier_uniform(),
+                kernel_init=nn.initializers.variance_scaling(0.5, "fan_avg", "uniform"),
                 bias_init=nn.initializers.zeros,
                 dtype=self.dtype,
                 name=name,

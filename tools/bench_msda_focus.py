@@ -37,6 +37,7 @@ def main():
         "two_stage_slices": m2.two_stage_slices,
         "two_stage_slices2": m2.two_stage_slices2,
         "int8_rows": m2.int8_rows,
+        "four_gather": m2.four_gather,
     }
     if os.environ.get("CHECK", "0") == "1":
         for name in which:
