@@ -153,12 +153,15 @@ def _convnext_rules(
 def _swin_rules(
     depths: Tuple[int, ...] = (2, 2, 18, 2),
     prefix: str = "backbone.0",
+    v2: bool = False,
 ) -> List[Tuple[str, str, str]]:
     """torchvision Swin (vendored at /root/reference/models/backbones/swin.py;
     wrapped as nn.Sequential(fx, PostProcess) -> 'backbone.0.' prefix,
     swin.py:768-770): patch embed features.0.{0 conv,2 norm}; stage s blocks
     at features.{2s+1}.{b}.{norm1, attn.{qkv,proj,relative_position_bias_table},
-    norm2, mlp.{0,3}}; PatchMerging s>=1 at features.{2s}.{reduction,norm}."""
+    norm2, mlp.{0,3}}; PatchMerging s>=1 at features.{2s}.{reduction,norm}.
+    V2 swaps the bias table for {logit_scale, cpb_mlp.{0,2}} and moves the
+    qkv bias to a standalone parameter (swin.py:301-363)."""
     rules = []
     rules += _conv(f"{prefix}.features.0.0", "backbone/patch_embed")
     rules += [(f"{prefix}.features.0.0.bias", "params/backbone/patch_embed/bias", "copy")]
@@ -174,10 +177,19 @@ def _swin_rules(
             src = f"{prefix}.features.{2 * s + 1}.{b}"
             dst = f"backbone/stage{s}_block{b}"
             rules += _ln(f"{src}.norm1", f"{dst}/norm1")
-            rules += _linear(f"{src}.attn.qkv", f"{dst}/attn/qkv")
+            if v2:
+                rules += _linear(f"{src}.attn.qkv", f"{dst}/attn/qkv", bias=False)
+                rules += [
+                    (f"{src}.attn.qkv.bias", f"params/{dst}/attn/qkv_bias", "copy"),
+                    (f"{src}.attn.logit_scale", f"params/{dst}/attn/logit_scale", "copy"),
+                ]
+                rules += _linear(f"{src}.attn.cpb_mlp.0", f"{dst}/attn/cpb_mlp_0")
+                rules += _linear(f"{src}.attn.cpb_mlp.2", f"{dst}/attn/cpb_mlp_2", bias=False)
+            else:
+                rules += _linear(f"{src}.attn.qkv", f"{dst}/attn/qkv")
+                rules += [(f"{src}.attn.relative_position_bias_table",
+                           f"params/{dst}/attn/relative_position_bias_table", "copy")]
             rules += _linear(f"{src}.attn.proj", f"{dst}/attn/proj")
-            rules += [(f"{src}.attn.relative_position_bias_table",
-                       f"params/{dst}/attn/relative_position_bias_table", "copy")]
             rules += _ln(f"{src}.norm2", f"{dst}/norm2")
             rules += _linear(f"{src}.mlp.0", f"{dst}/mlp_fc1")
             rules += _linear(f"{src}.mlp.3", f"{dst}/mlp_fc2")
@@ -385,7 +397,8 @@ def salience_detr_rules(
         bb = _convnext_rules(ARCH_SETTINGS[backbone]["depths"])
     elif backbone.startswith("swin"):
         from salience_detr_tpu.models.backbones.swin import ARCH_SETTINGS
-        bb = _swin_rules(ARCH_SETTINGS[backbone]["depths"])
+        cfg = ARCH_SETTINGS[backbone]
+        bb = _swin_rules(cfg["depths"], v2=bool(cfg.get("v2", False)))
     elif backbone.startswith("focalnet"):
         from salience_detr_tpu.models.backbones.focalnet import ARCH_SETTINGS
         cfg = ARCH_SETTINGS[backbone]

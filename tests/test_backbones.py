@@ -133,3 +133,33 @@ class TestBackboneForward:
         feats = jax.jit(lambda v: bb.apply(v, x))(v)
         for f in feats.values():
             assert np.isfinite(np.asarray(f)).all()
+
+
+class TestSwinV2:
+    def test_v2_forward_finite(self):
+        bb = SwinTransformerBackbone(arch="swin_v2_t", return_indices=(1, 2, 3))
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 96, 3)), jnp.float32)
+        v = bb.init(jax.random.PRNGKey(0), x)
+        p = v["params"]["stage0_block0"]["attn"]
+        # V2 structure: logit scale + cpb MLP + standalone qkv bias, no table
+        assert "logit_scale" in p and "cpb_mlp_0" in p and "qkv_bias" in p
+        assert "relative_position_bias_table" not in p
+        outs = bb.apply(v, x)
+        assert outs[1].shape == (1, 8, 12, 96 * 2)
+        for o in outs.values():
+            assert np.isfinite(np.asarray(o)).all()
+
+    def test_relative_coords_table_matches_torch_formula(self):
+        """swin.py:322-340: coords normalized by (w-1), x8, sign-log2/3."""
+        import torch
+
+        from salience_detr_tpu.models.backbones.swin import relative_coords_table
+
+        w = 8
+        rh = torch.arange(-(w - 1), w, dtype=torch.float32)
+        t = torch.stack(torch.meshgrid([rh, rh], indexing="ij")).permute(1, 2, 0)
+        t = t / (w - 1) * 8
+        t = torch.sign(t) * torch.log2(torch.abs(t) + 1.0) / 3.0
+        np.testing.assert_allclose(
+            relative_coords_table(w), t.reshape(-1, 2).numpy(), rtol=1e-6
+        )

@@ -56,7 +56,7 @@ def test_rules_cover_full_tree():
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "backbone", ["conv_l", "swin_l", "focalnet_large_lrf_fl4"]
+    "backbone", ["conv_l", "swin_l", "swin_v2_b", "focalnet_large_lrf_fl4"]
 )
 def test_rules_cover_full_tree_large_backbones(backbone):
     cfg = SalienceDETRConfig(backbone=backbone, backbone_return_indices=(1, 2, 3))
