@@ -98,7 +98,7 @@ def bench_train(model, criterion, sal_criterion, images, image_sizes, iters=3):
 def main():
     from salience_detr_tpu.models.factory import SalienceDETRConfig, build_salience_detr
 
-    batch = 4
+    batch = int(os.environ.get("BENCH_BATCH", 4))
     H, W = 800, 1344
     iters = 10
     cfg = SalienceDETRConfig(
