@@ -21,6 +21,9 @@ test_ann_file = f"{coco_path}/annotations/instances_val2017.json"
 model_path = "configs/salience_detr/salience_detr_resnet50_800_1333.py"
 
 resume_from_checkpoint = None
+# ImageNet backbone .pth converted into the model at startup (reference
+# resnet.py:398-426 downloads these; no egress here, so point at a local file)
+backbone_weights = None
 
 # optimization (configs/train_config.py:43-47 + util/engine.py:30-35)
 learning_rate = 1e-4
@@ -30,6 +33,10 @@ lr_milestones = [10]
 lr_gamma = 0.1
 warmup_factor = 1.0 / 1000
 warmup_steps = 1000  # capped at steps_per_epoch
+# param grouping (reference optimizer/param_dict.py): one of
+#   finetune_backbone_and_linear_projection (default),
+#   finetune_backbone_param, finetune_backbone_with_no_norm_weight_decay
+param_dicts = "finetune_backbone_and_linear_projection"
 
 # static-shape pipeline
 train_canvas = (800, 1344)  # shortest side 800 / longest 1333, padded to /32

@@ -61,6 +61,58 @@ WD_APPLIES = {
 }
 
 
+def _is_norm_module_comp(c: str) -> bool:
+    """Whether a path component names a normalization submodule (the
+    reference keys off module classes, param_dict.py:31-38; our module names
+    follow fixed conventions: *norm*, bn*, *_bn, fbn, ln/ln_*/*_ln, gn)."""
+    c = c.lower()
+    return (
+        "norm" in c
+        or c.startswith("bn")
+        or c.endswith("_bn")
+        or c in ("fbn", "ln", "gn")
+        or c.startswith("ln_")
+        or c.endswith("_ln")
+    )
+
+
+def _group_backbone_only(path: Tuple[Any, ...]) -> str:
+    """finetune_backbone_param (/root/reference/optimizer/param_dict.py:15-28):
+    two groups — backbone at 0.1x lr, everything else at 1x; uniform wd."""
+    comps = [str(getattr(p, "key", getattr(p, "name", str(p)))) for p in path]
+    return "backbone" if comps and comps[0] == "backbone" else "other"
+
+
+def _group_no_norm_wd(path: Tuple[Any, ...]) -> str:
+    """finetune_backbone_with_no_norm_weight_decay
+    (/root/reference/optimizer/param_dict.py:31-76): four groups — norm-module
+    parameters (scale AND bias, but not biases of other modules) get wd 0;
+    backbone params get 0.1x lr."""
+    comps = [str(getattr(p, "key", getattr(p, "name", str(p)))) for p in path]
+    is_backbone = bool(comps) and comps[0] == "backbone"
+    is_norm = any(_is_norm_module_comp(c) for c in comps[:-1])
+    if is_backbone:
+        return "backbone_norm" if is_norm else "backbone"
+    return "other_norm" if is_norm else "other"
+
+
+# grouping-name -> (classifier, lr multipliers, wd applicability); the
+# reference selects these via cfg (param_dict.py exposes all three builders)
+PARAM_GROUPINGS = {
+    "finetune_backbone_and_linear_projection": (param_group_of, LR_MULT, WD_APPLIES),
+    "finetune_backbone_param": (
+        _group_backbone_only,
+        {"other": 1.0, "backbone": 0.1},
+        {"other": True, "backbone": True},
+    ),
+    "finetune_backbone_with_no_norm_weight_decay": (
+        _group_no_norm_wd,
+        {"other": 1.0, "other_norm": 1.0, "backbone": 0.1, "backbone_norm": 0.1},
+        {"other": True, "backbone": True, "other_norm": False, "backbone_norm": False},
+    ),
+}
+
+
 def make_lr_schedule(
     base_lr: float,
     steps_per_epoch: int,
@@ -94,12 +146,14 @@ def build_optimizer(
     betas: Tuple[float, float] = (0.9, 0.999),
     max_norm: float = 0.1,
     frozen_predicate: Optional[Callable[[Tuple[Any, ...]], bool]] = None,
+    grouping: str = "finetune_backbone_and_linear_projection",
 ) -> optax.GradientTransformation:
     """AdamW with per-group lr multipliers / wd masks / freezing."""
 
-    groups = jax.tree_util.tree_map_with_path(lambda p, _: param_group_of(p), params)
-    lr_mult = jax.tree.map(lambda g: LR_MULT[g], groups)
-    wd_mask = jax.tree.map(lambda g: WD_APPLIES[g], groups)
+    classify, lr_table, wd_table = PARAM_GROUPINGS[grouping]
+    groups = jax.tree_util.tree_map_with_path(lambda p, _: classify(p), params)
+    lr_mult = jax.tree.map(lambda g: lr_table[g], groups)
+    wd_mask = jax.tree.map(lambda g: wd_table[g], groups)
     if frozen_predicate is not None:
         trainable = jax.tree_util.tree_map_with_path(
             lambda p, _: not frozen_predicate(_strip_backbone(p)), params

@@ -31,10 +31,25 @@ ARCH_SETTINGS: Dict[str, Dict] = {
     "resnet152": dict(block="bottleneck", layers=(3, 8, 36, 3), width=64),
     "wide_resnet50_2": dict(block="bottleneck", layers=(3, 4, 6, 3), width=128),
     "wide_resnet101_2": dict(block="bottleneck", layers=(3, 4, 23, 3), width=128),
+    # grouped-conv ResNeXt variants (reference resnet.py:335-346); the 3x3
+    # conv becomes a grouped conv (feature_group_count) — XLA maps grouped
+    # convs straight onto the MXU, no per-group loop
+    "resnext50_32x4d": dict(
+        block="bottleneck", layers=(3, 4, 6, 3), width=4, groups=32
+    ),
+    "resnext101_32x4d": dict(
+        block="bottleneck", layers=(3, 4, 23, 3), width=4, groups=32
+    ),
+    "resnext101_32x8d": dict(
+        block="bottleneck", layers=(3, 4, 23, 3), width=8, groups=32
+    ),
+    "resnext101_64x4d": dict(
+        block="bottleneck", layers=(3, 4, 23, 3), width=4, groups=64
+    ),
 }
 
 
-def _conv(features, kernel, stride, dtype, name, dilation=1):
+def _conv(features, kernel, stride, dtype, name, dilation=1, groups=1):
     pad = (kernel - 1) // 2 * dilation
     return nn.Conv(
         features,
@@ -42,6 +57,7 @@ def _conv(features, kernel, stride, dtype, name, dilation=1):
         strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         kernel_dilation=(dilation, dilation),
+        feature_group_count=groups,
         use_bias=False,
         dtype=dtype,
         kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
@@ -49,16 +65,18 @@ def _conv(features, kernel, stride, dtype, name, dilation=1):
     )
 
 
-def _conv3x3_maybe_dcn(features, stride, with_dcn, dtype, name):
+def _conv3x3_maybe_dcn(features, stride, with_dcn, dtype, name, groups=1):
     """conv2 of a residual block: plain 3x3 or DCNv2 when the stage is
     configured with deformable convs (/root/reference/models/backbones/
     resnet.py:31-44,78-81,133-136; conv3x3_dcn uses bias=False)."""
     if with_dcn:
+        if groups != 1:
+            raise NotImplementedError("DCN + grouped conv is not supported")
         return DeformConv2dPack(
             features, kernel_size=3, stride=stride, use_bias=False,
             dtype=dtype, name=name,
         )
-    return _conv(features, 3, stride, dtype, name)
+    return _conv(features, 3, stride, dtype, name, groups=groups)
 
 
 class BasicBlock(nn.Module):
@@ -88,6 +106,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     base_width: int = 64
+    groups: int = 1
     with_dcn: bool = False
     dtype: Dtype = jnp.float32
 
@@ -95,14 +114,17 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        width = int(self.planes * (self.base_width / 64.0))
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * self.expansion
         identity = x
         out = _conv(width, 1, 1, self.dtype, "conv1")(x)
         out = FrozenBatchNorm(width, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        # torchvision puts the stride on the 3x3 conv
-        out = _conv3x3_maybe_dcn(width, self.stride, self.with_dcn, self.dtype, "conv2")(out)
+        # torchvision puts the stride (and the ResNeXt groups) on the 3x3 conv
+        out = _conv3x3_maybe_dcn(
+            width, self.stride, self.with_dcn, self.dtype, "conv2",
+            groups=self.groups,
+        )(out)
         out = FrozenBatchNorm(width, dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
         out = _conv(out_ch, 1, 1, self.dtype, "conv3")(out)
@@ -157,6 +179,7 @@ class ResNetBackbone(nn.Module):
                 kwargs = {}
                 if block_cls is Bottleneck:
                     kwargs["base_width"] = cfg["width"]
+                    kwargs["groups"] = cfg.get("groups", 1)
                 x = block_cls(
                     planes=planes,
                     stride=stride,

@@ -57,7 +57,14 @@ def rope_tables(hh: int, ww: int, head_dim: int, pt_seq_len: int = 16):
     """VisionRotaryEmbeddingFast cos/sin tables for an (hh, ww) token grid
     (reference vit.py:76-115): per-axis 'lang' frequencies over half the head
     dim, coordinates scaled to the pretrain patch grid, consecutive-pair
-    rotation layout.  Returns (cos, sin) each (hh*ww, head_dim) float32."""
+    rotation layout.  Returns (cos, sin) each (hh*ww, head_dim) float32.
+
+    Generalization note: y is normalized by hh and x by ww independently, so
+    on a non-square canvas (e.g. 800x1344) the two axes get anisotropic rope
+    frequencies.  The reference instead builds one square table
+    (ft_seq_len = image_size/patch_size) and square-pads its inputs; for
+    closer parity with square-padded reference inference, normalize both
+    axes by max(hh, ww)."""
     dim = head_dim // 2  # the reference constructs with dim = hidden/heads/2
     freqs = 1.0 / (10000.0 ** (np.arange(0, dim, 2)[: dim // 2] / dim))
     ty = np.arange(hh, dtype=np.float64) / hh * pt_seq_len

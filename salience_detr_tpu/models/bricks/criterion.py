@@ -139,6 +139,7 @@ class SetCriterion:
         targets: Targets,
         num_boxes: jnp.ndarray,
         gt_to_query: Optional[jnp.ndarray] = None,  # (B, M); None -> match
+        class_mask: Optional[jnp.ndarray] = None,  # broadcastable to (B, Q, K)
     ) -> Dict[str, jnp.ndarray]:
         if gt_to_query is None:
             if self.mixed_match_copies > 1:
@@ -173,11 +174,12 @@ class SetCriterion:
             target_score = target_score.at[batch_ix, q_scatter].set(iou)[:, :Q]
             loss_class = vari_sigmoid_focal_loss(
                 pred_logits, onehot, target_score, num_boxes,
-                alpha=self.alpha, gamma=self.gamma,
+                alpha=self.alpha, gamma=self.gamma, mask=class_mask,
             ) * Q
         else:
             loss_class = sigmoid_focal_loss(
-                pred_logits, onehot, num_boxes, alpha=self.alpha, gamma=self.gamma,
+                pred_logits, onehot, num_boxes, alpha=self.alpha,
+                gamma=self.gamma, mask=class_mask,
             ) * Q
 
         # ---- box losses over matched pairs only
@@ -232,11 +234,15 @@ class SetCriterion:
         dn_gt_idx: jnp.ndarray,  # (P,) gt indices (on device)
         pair_live: jnp.ndarray,  # (P,) bool — pairs within the live g*m prefix
         dn_groups: jnp.ndarray,  # scalar g (traced)
+        dn_m: Optional[jnp.ndarray] = None,  # scalar m (traced)
     ) -> Dict[str, jnp.ndarray]:
         """Denoising losses (base_detector.py:188-244).  Indices are traced
         arrays from :func:`denoising.cdn_match_indices` — the pair layout
         follows the batch's exact (m, g) like the reference's per-batch
-        meshgrid, with dead pairs masked out of the loss."""
+        meshgrid.  Dead pairs are masked out of the box losses, and dead
+        SLOTS (indices >= 2*g*m up to the static capacity, which the
+        dynamically-shaped reference never materializes) are masked out of
+        the class loss so they receive no background supervision."""
         labels, boxes, valid = targets
         M = labels.shape[1]
         t_c = jnp.clip(dn_gt_idx, 0, M - 1)[None]  # (1, P)
@@ -249,12 +255,19 @@ class SetCriterion:
         gt_to_query = jnp.broadcast_to(
             dn_query_idx.astype(jnp.int32)[None], (B, dn_query_idx.shape[0])
         )
+        class_mask = None
+        if dn_m is not None:
+            from salience_detr_tpu.models.bricks.denoising import cdn_slot_layout
+
+            _, _, slot_live = cdn_slot_layout(dn_m, dn_groups, dn_class.shape[2])
+            class_mask = slot_live[None, :, None]  # (1, Ndn, 1)
         losses = {}
         n_layers = dn_class.shape[0]
         nb = num_boxes * dn_groups.astype(jnp.float32)
         for i in range(n_layers):
             l = self.calculate_loss(
-                dn_class[i], dn_coord[i], dn_targets, nb, gt_to_query=gt_to_query
+                dn_class[i], dn_coord[i], dn_targets, nb,
+                gt_to_query=gt_to_query, class_mask=class_mask,
             )
             suffix = "_dn" if i == n_layers - 1 else f"_dn_{i}"
             losses.update({k + suffix: v for k, v in l.items()})

@@ -9,10 +9,14 @@ expressible with a STATIC slot capacity ``2 * denoising_nums`` while keeping
 m and g as traced scalars: slot -> (group, positive/negative, gt index) is
 integer arithmetic on a static arange, dead slots (beyond 2*g*m) carry zero
 queries and are isolated by the attention mask, and the dn-loss indices are
-computed on device from the same scalars.  The denoising curriculum is thus
-IDENTICAL to the reference for every batch (not pinned groups — an earlier
-revision pinned g from a config constant, which under-supervised images with
-few objects).
+computed on device from the same scalars.  The denoising curriculum thus
+matches the reference for every batch with m <= denoising_nums (not pinned
+groups — an earlier revision pinned g from a config constant, which
+under-supervised images with few objects).  One deliberate cap: cdn_meta
+clamps m at denoising_nums, so in the rare case of an image with more than
+denoising_nums gts the overflow gts get no denoising supervision, where the
+reference instead grows the group to 2*max_gt slots; keep the static gt
+capacity max_gt <= denoising_nums if exact parity matters.
 
 Slot layout matches the reference: [g0_pos(m) | g0_neg(m) | g1_pos | ...].
 """

@@ -398,15 +398,17 @@ class SalienceTransformer(nn.Module):
         C = self.embed_dim
         L = len(spatial_shapes)
 
-        feat_flatten = flatten_multi_level(multi_level_feats)
-        mask_flatten = flatten_multi_level(multi_level_masks)
-        lvl_pos = flatten_multi_level(
-            [p + self.level_embeds[i].astype(p.dtype) for i, p in enumerate(multi_level_pos)]
-        )
+        with jax.named_scope("flatten_inputs"):
+            feat_flatten = flatten_multi_level(multi_level_feats)
+            mask_flatten = flatten_multi_level(multi_level_masks)
+            lvl_pos = flatten_multi_level(
+                [p + self.level_embeds[i].astype(p.dtype) for i, p in enumerate(multi_level_pos)]
+            )
 
-        backbone_output_memory, _ = self._gen_encoder_output_proposals(
-            feat_flatten + lvl_pos, mask_flatten, spatial_shapes, valid_hw
-        )
+        with jax.named_scope("backbone_memory_proj"):
+            backbone_output_memory, _ = self._gen_encoder_output_proposals(
+                feat_flatten + lvl_pos, mask_flatten, spatial_shapes, valid_hw
+            )
 
         # static per-level budgets from padded canvas; per-image focus counts
         # reproduce the reference's valid-token accounting (:117-121)
@@ -420,38 +422,36 @@ class SalienceTransformer(nn.Module):
         focus_token_nums = (valid_token_nums.astype(jnp.float32) * ratios).astype(jnp.int32)
         focus_token_nums = jnp.sum(focus_token_nums, -1)  # (B,)
 
-        # high -> low level salience cascade (:128-153)
-        selected_score, selected_inds, salience_score = [], [], [None] * L
-        score = None
-        global_min = None
-        for level_idx in range(L - 1, -1, -1):
-            h, w = spatial_shapes[level_idx]
-            s0, s1 = int(starts[level_idx]), int(starts[level_idx + 1])
-            level_memory = backbone_output_memory[:, s0:s1]
-            mask = mask_flatten[:, s0:s1]
-            if level_idx != L - 1:
-                up = bilinear_resize_align_corners(score, (h, w))  # (B, h, w, 1)
-                up = up.reshape(B, h * w, 1)
-                level_memory = level_memory + level_memory * up * self.alpha[level_idx].astype(level_memory.dtype)
-            score_tok = self.enc_mask_predictor(level_memory)  # (B, hw, 1)
-            valid_score = jnp.where(mask, jnp.min(score_tok), score_tok[..., 0])
-            score = score_tok.reshape(B, h, w, 1)
-            k = min(level_token_nums[level_idx], h * w)
-            level_score, level_inds = jax.lax.top_k(valid_score, k)
-            selected_inds.append(level_inds + s0)
-            selected_score.append(level_score)
-            salience_score[level_idx] = score
+        with jax.named_scope("salience_cascade"):
+            for level_idx in range(L - 1, -1, -1):
+                h, w = spatial_shapes[level_idx]
+                s0, s1 = int(starts[level_idx]), int(starts[level_idx + 1])
+                level_memory = backbone_output_memory[:, s0:s1]
+                mask = mask_flatten[:, s0:s1]
+                if level_idx != L - 1:
+                    up = bilinear_resize_align_corners(score, (h, w))  # (B, h, w, 1)
+                    up = up.reshape(B, h * w, 1)
+                    level_memory = level_memory + level_memory * up * self.alpha[level_idx].astype(level_memory.dtype)
+                score_tok = self.enc_mask_predictor(level_memory)  # (B, hw, 1)
+                valid_score = jnp.where(mask, jnp.min(score_tok), score_tok[..., 0])
+                score = score_tok.reshape(B, h, w, 1)
+                k = min(level_token_nums[level_idx], h * w)
+                level_score, level_inds = jax.lax.top_k(valid_score, k)
+                selected_inds.append(level_inds + s0)
+                selected_score.append(level_score)
+                salience_score[level_idx] = score
 
         # global sort and per-layer prefixes (:156-165)
-        selected_score = jnp.concatenate(selected_score[::-1], 1)
-        selected_inds = jnp.concatenate(selected_inds[::-1], 1)
-        order = jnp.argsort(-selected_score, axis=1)
-        selected_inds = jnp.take_along_axis(selected_inds, order, axis=1)
-        K = selected_inds.shape[1]
-        layer_ks = [max(int(K * r), 1) for r in self.layer_filter_ratio]
+        with jax.named_scope("salience_sort"):
+            selected_score = jnp.concatenate(selected_score[::-1], 1)
+            selected_inds = jnp.concatenate(selected_inds[::-1], 1)
+            order = jnp.argsort(-selected_score, axis=1)
+            selected_inds = jnp.take_along_axis(selected_inds, order, axis=1)
+            K = selected_inds.shape[1]
+            layer_ks = [max(int(K * r), 1) for r in self.layer_filter_ratio]
 
-        foreground_score = flatten_multi_level([s[..., 0] for s in salience_score])
-        foreground_score = jnp.where(mask_flatten, jnp.min(foreground_score), foreground_score)
+            foreground_score = flatten_multi_level([s[..., 0] for s in salience_score])
+            foreground_score = jnp.where(mask_flatten, jnp.min(foreground_score), foreground_score)
 
         # ---------------- encoder (:434-497)
         # NOTE: deformable attention samples from the ORIGINAL encoder input in
@@ -464,61 +464,67 @@ class SalienceTransformer(nn.Module):
         batch_ix = jnp.arange(B)[:, None]
         last_inds = None
         for layer_id, layer in enumerate(self.encoder_layers):
-            inds = selected_inds[:, : layer_ks[layer_id]]  # (B, K_i)
-            last_inds = inds
-            query = jnp.take_along_axis(output, inds[..., None], axis=1)
-            query_pos = jnp.take_along_axis(lvl_pos, inds[..., None], axis=1)
-            fg_pre = jnp.take_along_axis(foreground_score, inds, axis=1)
-            ref = jnp.take_along_axis(
-                enc_ref_points.reshape(B, S, -1), inds[..., None], axis=1
-            ).reshape(B, -1, L, 2)
-            score_tgt = self.encoder_class_head(query)  # shared enhance_mcsp (:79)
-            query = layer(
-                query, query_pos, enc_value, ref, spatial_shapes, mask_flatten,
-                score_tgt, fg_pre,
-            )
-            # masked scatter back (:474-485): only the per-image focus prefix
-            pos_rank = jnp.arange(inds.shape[1])[None, :]
-            upd = pos_rank < focus_token_nums[:, None]
-            cur = jnp.take_along_axis(output, inds[..., None], axis=1)
-            merged = jnp.where(upd[..., None], query, cur)
-            output = output.at[batch_ix, inds].set(merged)
+            with jax.named_scope(f"encoder_layer_{layer_id}"):
+                inds = selected_inds[:, : layer_ks[layer_id]]  # (B, K_i)
+                last_inds = inds
+                query = jnp.take_along_axis(output, inds[..., None], axis=1)
+                query_pos = jnp.take_along_axis(lvl_pos, inds[..., None], axis=1)
+                fg_pre = jnp.take_along_axis(foreground_score, inds, axis=1)
+                ref = jnp.take_along_axis(
+                    enc_ref_points.reshape(B, S, -1), inds[..., None], axis=1
+                ).reshape(B, -1, L, 2)
+                score_tgt = self.encoder_class_head(query)  # shared enhance_mcsp (:79)
+                query = layer(
+                    query, query_pos, enc_value, ref, spatial_shapes, mask_flatten,
+                    score_tgt, fg_pre,
+                )
+                # masked scatter back (:474-485): per-image focus prefix only
+                pos_rank = jnp.arange(inds.shape[1])[None, :]
+                upd = pos_rank < focus_token_nums[:, None]
+                cur = jnp.take_along_axis(output, inds[..., None], axis=1)
+                merged = jnp.where(upd[..., None], query, cur)
+                output = output.at[batch_ix, inds].set(merged)
 
         # background embedding for non-foreground tokens (:487-495)
-        bg = self._background_embedding(spatial_shapes, B).astype(output.dtype)
-        bg = bg.at[batch_ix, last_inds].set(0.0)
-        bg = bg * (~mask_flatten[..., None])
-        memory = output + bg
+        with jax.named_scope("background_embed"):
+            bg = self._background_embedding(spatial_shapes, B).astype(output.dtype)
+            bg = bg.at[batch_ix, last_inds].set(0.0)
+            bg = bg * (~mask_flatten[..., None])
+            memory = output + bg
 
         # ---------------- neck re-fusion (:185-192)
         if self.neck is not None:
-            feat_unflat = {}
-            for lvl, (h, w) in enumerate(spatial_shapes):
-                s0, s1 = int(starts[lvl]), int(starts[lvl + 1])
-                feat_unflat[lvl] = memory[:, s0:s1].reshape(B, h, w, C)
-            feat_unflat = self.neck(feat_unflat, train=train)
-            memory = jnp.concatenate(
-                [f.reshape(B, -1, C) for f in feat_unflat.values()], axis=1
-            )
+            with jax.named_scope("repnet_neck"):
+                feat_unflat = {}
+                for lvl, (h, w) in enumerate(spatial_shapes):
+                    s0, s1 = int(starts[lvl]), int(starts[lvl + 1])
+                    feat_unflat[lvl] = memory[:, s0:s1].reshape(B, h, w, C)
+                feat_unflat = self.neck(feat_unflat, train=train)
+                memory = jnp.concatenate(
+                    [f.reshape(B, -1, C) for f in feat_unflat.values()], axis=1
+                )
 
         # ---------------- two-stage proposals (:195-212)
-        output_memory, output_proposals = self._gen_encoder_output_proposals(
-            memory, mask_flatten, spatial_shapes, valid_hw
-        )
-        enc_outputs_class = self.encoder_class_head(output_memory)
-        coord_logits = self.encoder_bbox_head(output_memory) + output_proposals
-        enc_outputs_coord = jax.nn.sigmoid(coord_logits)
+        with jax.named_scope("two_stage_heads"):
+            output_memory, output_proposals = self._gen_encoder_output_proposals(
+                memory, mask_flatten, spatial_shapes, valid_hw
+            )
+            enc_outputs_class = self.encoder_class_head(output_memory)
+            coord_logits = self.encoder_bbox_head(output_memory) + output_proposals
+            enc_outputs_coord = jax.nn.sigmoid(coord_logits)
 
         topk = min(self.two_stage_num_proposals * 4, S)
         num_proposals = min(self.two_stage_num_proposals, topk)
-        topk_scores, topk_index = jax.lax.top_k(
-            jnp.max(enc_outputs_class, -1), topk
-        )  # (B, topk), sorted by score
-        nms_index = jax.vmap(
-            lambda ti: grid_nms_topk(ti, spatial_shapes, num_proposals)
-        )(topk_index)  # (B, num_proposals)
-        enc_class = jnp.take_along_axis(enc_outputs_class, nms_index[..., None], axis=1)
-        enc_coord = jnp.take_along_axis(enc_outputs_coord, nms_index[..., None], axis=1)
+        with jax.named_scope("proposal_topk"):
+            topk_scores, topk_index = jax.lax.top_k(
+                jnp.max(enc_outputs_class, -1), topk
+            )  # (B, topk), sorted by score
+        with jax.named_scope("proposal_nms"):
+            nms_index = jax.vmap(
+                lambda ti: grid_nms_topk(ti, spatial_shapes, num_proposals)
+            )(topk_index)  # (B, num_proposals)
+            enc_class = jnp.take_along_axis(enc_outputs_class, nms_index[..., None], axis=1)
+            enc_coord = jnp.take_along_axis(enc_outputs_coord, nms_index[..., None], axis=1)
 
         # ---------------- decoder inputs (:215-233)
         reference_points = jax.lax.stop_gradient(enc_coord)
@@ -547,29 +553,30 @@ class SalienceTransformer(nn.Module):
         vr_scale = jnp.concatenate([valid_ratios, valid_ratios], -1)[:, None]  # (B,1,L,4)
 
         for i, layer in enumerate(self.decoder_layers):
-            ref_in = jax.lax.stop_gradient(reference_points)[:, :, None] * vr_scale  # (B,Q,L,4)
-            query_sine = get_sine_pos_embed(ref_in[:, :, 0, :], num_pos_feats=self.embed_dim // 2)
-            query_pos = self.ref_point_head(query_sine.astype(query.dtype))
+            with jax.named_scope(f"decoder_layer_{i}"):
+                ref_in = jax.lax.stop_gradient(reference_points)[:, :, None] * vr_scale  # (B,Q,L,4)
+                query_sine = get_sine_pos_embed(ref_in[:, :, 0, :], num_pos_feats=self.embed_dim // 2)
+                query_pos = self.ref_point_head(query_sine.astype(query.dtype))
 
-            query = layer(
-                query, query_pos, ref_in, value, spatial_shapes,
-                key_padding_mask, attn_mask,
-            )
+                query = layer(
+                    query, query_pos, ref_in, value, spatial_shapes,
+                    key_padding_mask, attn_mask,
+                )
 
-            normed = self.decoder_norm(query)
-            output_class = self.decoder_class_heads[i](normed)
-            output_coord = jax.nn.sigmoid(
-                self.decoder_bbox_heads[i](normed) + inverse_sigmoid(reference_points)
-            )
-            outputs_classes.append(output_class)
-            outputs_coords.append(output_coord)
+                normed = self.decoder_norm(query)
+                output_class = self.decoder_class_heads[i](normed)
+                output_coord = jax.nn.sigmoid(
+                    self.decoder_bbox_heads[i](normed) + inverse_sigmoid(reference_points)
+                )
+                outputs_classes.append(output_class)
+                outputs_coords.append(output_coord)
 
-            if i == self.num_decoder_layers - 1:
-                break
-            # iterative refinement uses detached refs, un-normed query
-            reference_points = jax.nn.sigmoid(
-                self.decoder_bbox_heads[i](query)
-                + inverse_sigmoid(jax.lax.stop_gradient(reference_points))
-            )
+                if i == self.num_decoder_layers - 1:
+                    break
+                # iterative refinement uses detached refs, un-normed query
+                reference_points = jax.nn.sigmoid(
+                    self.decoder_bbox_heads[i](query)
+                    + inverse_sigmoid(jax.lax.stop_gradient(reference_points))
+                )
 
         return jnp.stack(outputs_classes), jnp.stack(outputs_coords)

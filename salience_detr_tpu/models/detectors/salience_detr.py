@@ -77,20 +77,23 @@ class SalienceDETR(nn.Module):
 
         # stochastic depth in the transformer backbones needs the train flag
         # (reference trains backbones with StochasticDepth active)
-        feats = self.backbone(images.astype(self.dtype), train=train)
-        feats = self.neck(feats)  # list of (B, h, w, C)
+        with jax.named_scope("backbone"):
+            feats = self.backbone(images.astype(self.dtype), train=train)
+        with jax.named_scope("channel_mapper"):
+            feats = self.neck(feats)  # list of (B, h, w, C)
 
-        shapes = [(f.shape[1], f.shape[2]) for f in feats]
-        valid_hw = misc_ops.multi_level_valid_sizes(image_sizes, canvas, shapes)
-        masks = [misc_ops.rect_mask(v, s) for v, s in zip(valid_hw, shapes)]
-        pos_embeds = [
-            sine_position_embedding(
-                m, num_pos_feats=self.transformer.embed_dim // 2,
-                normalize=True, offset=-0.5,
-            ).astype(self.dtype)
-            for m in masks
-        ]
-        vr = misc_ops.valid_ratios(valid_hw, shapes)
+        with jax.named_scope("masks_pos_embeds"):
+            shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            valid_hw = misc_ops.multi_level_valid_sizes(image_sizes, canvas, shapes)
+            masks = [misc_ops.rect_mask(v, s) for v, s in zip(valid_hw, shapes)]
+            pos_embeds = [
+                sine_position_embedding(
+                    m, num_pos_feats=self.transformer.embed_dim // 2,
+                    normalize=True, offset=-0.5,
+                ).astype(self.dtype)
+                for m in masks
+            ]
+            vr = misc_ops.valid_ratios(valid_hw, shapes)
 
         noised_label_query = noised_box_query = attn_mask = None
         dn_m = dn_g = None
@@ -163,6 +166,7 @@ def compute_loss(
             criterion.dn_loss(
                 outputs["dn_class"], outputs["dn_coord"], targets, num_boxes,
                 dn_query_idx, dn_gt_idx, pair_live, outputs["dn_groups"],
+                dn_m=outputs["dn_m"],
             )
         )
     losses.update(

@@ -80,7 +80,7 @@ def build_backbone(cfg: SalienceDETRConfig):
     """Backbone dispatch by arch name (the reference's 5 backbone factories,
     SURVEY.md §2.6)."""
     name = cfg.backbone
-    if name.startswith(("resnet", "wide_resnet")):
+    if name.startswith(("resnet", "resnext", "wide_resnet")):
         return ResNetBackbone(
             arch=name,
             return_indices=cfg.backbone_return_indices,
@@ -145,7 +145,12 @@ def build_salience_detr(cfg: SalienceDETRConfig):
         remat_policy=cfg.remat_policy,
         dtype=cfg.dtype,
     )
-    strides = tuple(8 * 2**i for i in range(cfg.num_feature_levels))
+    # backbone stage i has stride 4*2**i; extra pyramid levels from the neck
+    # halve resolution again (so the 4scale r50 config gives 8/16/32/64 and
+    # the 5scale one 4/8/16/32/64, matching the reference neck layouts)
+    strides = tuple(4 * 2**i for i in cfg.backbone_return_indices)
+    while len(strides) < cfg.num_feature_levels:
+        strides += (strides[-1] * 2,)
     model = SalienceDETR(
         backbone=backbone,
         neck=neck,

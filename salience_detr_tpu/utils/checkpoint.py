@@ -69,6 +69,26 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(state_template)
         )
 
+    def restore_weights(self, step: Optional[int] = None) -> Optional[Dict]:
+        """Weights-only restore for eval/export: returns
+        ``{step, params, frozen, batch_stats}`` as host numpy trees, without
+        needing an optimizer-state template (a train checkpoint stores the
+        full AdamW state; an eval process has no matching template — the
+        reference's eval load is likewise weights-only, test.py:107-112)."""
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return None
+        restored = self.manager.restore(step, args=ocp.args.StandardRestore())
+        get = (lambda k: restored.get(k)) if isinstance(restored, dict) else (
+            lambda k: getattr(restored, k, None)
+        )
+        return {
+            "step": get("step"),
+            "params": get("params") or {},
+            "frozen": get("frozen") or {},
+            "batch_stats": get("batch_stats") or {},
+        }
+
     def save_named(self, name: str, state: Any):
         """Best-metric snapshot (best_ap / best_ap50)."""
         path = os.path.join(self.directory, name)
@@ -109,8 +129,9 @@ def load_torch_weights(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(ckpt, dict) and "model" in ckpt:
-        ckpt = ckpt["model"]
+    for wrapper in ("model", "state_dict"):
+        if isinstance(ckpt, dict) and wrapper in ckpt and isinstance(ckpt[wrapper], dict):
+            ckpt = ckpt[wrapper]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in ckpt.items()}
 
 

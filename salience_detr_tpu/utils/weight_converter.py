@@ -377,6 +377,37 @@ def salience_detr_r50_rules(
     )
 
 
+def backbone_rules(
+    backbone: str = "resnet50",
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False),
+) -> List[Tuple[str, str, str]]:
+    """Backbone-only rules (torch keys carry the detector's ``backbone.``
+    prefix; strip it to convert a bare torchvision/timm ImageNet file)."""
+    if backbone.startswith(("resnet", "resnext", "wide_resnet")):
+        from salience_detr_tpu.models.backbones.resnet import ARCH_SETTINGS
+        cfg = ARCH_SETTINGS[backbone]
+        return _resnet_rules(
+            cfg["layers"], cfg["block"] == "bottleneck", stage_with_dcn
+        )
+    if backbone.startswith("conv_"):
+        from salience_detr_tpu.models.backbones.convnext import ARCH_SETTINGS
+        return _convnext_rules(ARCH_SETTINGS[backbone]["depths"])
+    if backbone.startswith("swin"):
+        from salience_detr_tpu.models.backbones.swin import ARCH_SETTINGS
+        cfg = ARCH_SETTINGS[backbone]
+        return _swin_rules(cfg["depths"], v2=bool(cfg.get("v2", False)))
+    if backbone.startswith("focalnet"):
+        from salience_detr_tpu.models.backbones.focalnet import ARCH_SETTINGS
+        cfg = ARCH_SETTINGS[backbone]
+        return _focalnet_rules(
+            cfg["depths"], cfg["focal_levels"],
+            return_indices=(1, 2, 3),
+            use_layerscale=cfg["layerscale"],
+            use_postln_in_modulation=cfg.get("postln_in_mod", False),
+        )
+    raise ValueError(f"no converter rules for backbone {backbone!r}")
+
+
 def salience_detr_rules(
     backbone: str = "resnet50",
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False),
@@ -386,31 +417,9 @@ def salience_detr_rules(
 
     backbone: resnet50 | conv_l (ConvNeXt-L) | swin_l | focalnet_large_lrf_fl4
     (the archs used by /root/reference/configs/salience_detr/*.py)."""
-    if backbone.startswith("resnet"):
-        layers = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
-                  "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
-                  "resnet152": (3, 8, 36, 3)}[backbone]
-        bottleneck = backbone not in ("resnet18", "resnet34")
-        bb = _resnet_rules(layers, bottleneck, stage_with_dcn)
-    elif backbone.startswith("conv_"):
-        from salience_detr_tpu.models.backbones.convnext import ARCH_SETTINGS
-        bb = _convnext_rules(ARCH_SETTINGS[backbone]["depths"])
-    elif backbone.startswith("swin"):
-        from salience_detr_tpu.models.backbones.swin import ARCH_SETTINGS
-        cfg = ARCH_SETTINGS[backbone]
-        bb = _swin_rules(cfg["depths"], v2=bool(cfg.get("v2", False)))
-    elif backbone.startswith("focalnet"):
-        from salience_detr_tpu.models.backbones.focalnet import ARCH_SETTINGS
-        cfg = ARCH_SETTINGS[backbone]
-        bb = _focalnet_rules(
-            cfg["depths"], cfg["focal_levels"],
-            return_indices=(1, 2, 3),
-            use_layerscale=cfg["layerscale"],
-            use_postln_in_modulation=cfg.get("postln_in_mod", False),
-        )
-    else:
-        raise ValueError(f"no converter rules for backbone {backbone!r}")
-    return bb + salience_detr_head_rules(**head_kw)
+    return backbone_rules(backbone, stage_with_dcn) + salience_detr_head_rules(
+        **head_kw
+    )
 
 
 def _apply_transform(value: np.ndarray, kind: str) -> np.ndarray:
@@ -480,13 +489,10 @@ def flatten_variables(variables: Dict, prefix: str = "") -> Dict[str, np.ndarray
     return out
 
 
-def load_reference_checkpoint(variables: Dict, pth_path: str, rules=None, logger=None):
-    """Full pipeline: torch .pth -> updated flax variables (tolerant)."""
-    from salience_detr_tpu.utils.checkpoint import load_torch_weights
-
-    torch_state = load_torch_weights(pth_path)
-    rules = rules or salience_detr_r50_rules()
-    flat_new, missing, unused = convert_state_dict(torch_state, rules)
+def _apply_converted(variables: Dict, flat_new, missing, unused, logger=None):
+    """Tolerantly merge converted arrays into the current variable tree
+    (shape-checked; reports applied/missing/unused/mismatched like the
+    reference's strict=False load, /root/reference/util/utils.py:370-382)."""
     flat_cur = flatten_variables(variables)
     applied = 0
     mismatched = []
@@ -503,4 +509,55 @@ def load_reference_checkpoint(variables: Dict, pth_path: str, rules=None, logger
         )
         for k in (missing + mismatched)[:40]:
             logger.warning(f"  unmapped/mismatched: {k}")
+    if applied == 0:
+        raise ValueError(
+            "weight conversion applied 0 tensors — the checkpoint does not "
+            f"match the rules (missing_src={len(missing)}, sample="
+            f"{missing[:5]})"
+        )
     return flat_to_nested(flat_cur)
+
+
+def load_reference_checkpoint(variables: Dict, pth_path: str, rules=None, logger=None):
+    """Full pipeline: torch .pth -> updated flax variables (tolerant).
+
+    Mirrors /root/reference/test.py:107-112 (load a released detector .pth
+    and evaluate)."""
+    from salience_detr_tpu.utils.checkpoint import load_torch_weights
+
+    torch_state = load_torch_weights(pth_path)
+    rules = rules or salience_detr_r50_rules()
+    flat_new, missing, unused = convert_state_dict(torch_state, rules)
+    return _apply_converted(variables, flat_new, missing, unused, logger)
+
+
+def load_pretrained_backbone(
+    variables: Dict,
+    pth_path: str,
+    backbone: str = "resnet50",
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False),
+    logger=None,
+) -> Dict:
+    """ImageNet-style torch checkpoint (bare torchvision/timm names, no
+    ``backbone.`` prefix) -> this model's backbone subtree.
+
+    Mirrors the reference's in-factory pretrained load
+    (/root/reference/models/backbones/resnet.py:398-426 ->
+    util/utils.py:370-382 load_checkpoint)."""
+    from salience_detr_tpu.utils.checkpoint import load_torch_weights
+
+    torch_state = load_torch_weights(pth_path)
+    # detector-prefixed rules -> bare ImageNet names on the torch side
+    rules = [
+        (src[len("backbone."):] if src.startswith("backbone.") else src,
+         dst, kind)
+        for src, dst, kind in backbone_rules(backbone, stage_with_dcn)
+    ]
+    # released files may carry a DataParallel 'module.' prefix — normalize
+    # ('model'/'state_dict' wrappers are unwrapped by load_torch_weights)
+    torch_state = {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in torch_state.items()
+    }
+    flat_new, missing, unused = convert_state_dict(torch_state, rules)
+    return _apply_converted(variables, flat_new, missing, unused, logger)

@@ -19,6 +19,11 @@ def parse_args():
     p.add_argument("--coco-ann", default="data/coco/annotations/instances_val2017.json")
     p.add_argument("--model-config", default="configs/salience_detr/salience_detr_resnet50_800_1333.py")
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    p.add_argument(
+        "--torch-checkpoint", default=None,
+        help="released reference .pth to convert and evaluate "
+        "(the reference's test.py:107-112 path)",
+    )
     p.add_argument("--result-file", default=None, help="re-score an existing predictions JSON")
     p.add_argument("--save-results", default=None, help="dump predictions JSON here")
     p.add_argument("--show-dir", default=None, help="save visualizations here")
@@ -93,6 +98,25 @@ def main():
             )
         )
         variables = init()
+        if args.torch_checkpoint:
+            from salience_detr_tpu.utils.weight_converter import (
+                load_reference_checkpoint,
+                salience_detr_rules,
+            )
+
+            rules = salience_detr_rules(
+                backbone=model_cfg.backbone,
+                stage_with_dcn=tuple(model_cfg.stage_with_dcn),
+                num_encoder_layers=model_cfg.num_encoder_layers,
+                num_decoder_layers=model_cfg.num_decoder_layers,
+                num_levels=model_cfg.num_feature_levels,
+                num_channel_mapper_convs=model_cfg.num_feature_levels,
+            )
+            variables = load_reference_checkpoint(
+                jax.device_get(variables), args.torch_checkpoint,
+                rules=rules, logger=logger,
+            )
+            logger.info(f"Converted torch checkpoint {args.torch_checkpoint}")
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=variables["params"],
             frozen=variables.get("frozen", {}),
@@ -100,9 +124,13 @@ def main():
         )
         if args.checkpoint:
             mgr = CheckpointManager(args.checkpoint)
-            restored = mgr.restore(jax.device_get(state))
+            restored = mgr.restore_weights()
             if restored is not None:
-                state = restored
+                state = TrainState(
+                    step=jnp.asarray(restored["step"], jnp.int32),
+                    params=restored["params"], frozen=restored["frozen"],
+                    batch_stats=restored["batch_stats"], opt_state=None,
+                )
                 logger.info(f"Restored checkpoint from {args.checkpoint}")
 
         eval_step = make_eval_step(model, postprocess, mesh=mesh)

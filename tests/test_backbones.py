@@ -38,6 +38,22 @@ class TestBackboneShapes:
             (1, 8, 12, chans[0]), (1, 4, 6, chans[1]), (1, 2, 3, chans[2]),
         ]
 
+    def test_resnext_grouped(self):
+        """ResNeXt (reference resnet.py:335-346): grouped 3x3 conv2 with
+        width = planes * width_per_group/64 * groups."""
+        bb = ResNetBackbone(arch="resnext50_32x4d", return_indices=(1, 2, 3))
+        assert bb.num_channels == [512, 1024, 2048]
+        feats = shapes_of(bb)
+        assert [feats[i].shape for i in (1, 2, 3)] == [
+            (1, 8, 12, 512), (1, 4, 6, 1024), (1, 2, 3, 2048),
+        ]
+        x = jnp.zeros((1, 64, 96, 3))
+        var_shapes = jax.eval_shape(lambda: bb.init(jax.random.PRNGKey(0), x))
+        # stage-1 block 0: planes=64 -> width = 64*(4/64)*32 = 128; the
+        # grouped kernel stores in_features/groups = 4 input channels
+        k = var_shapes["params"]["layer1_0"]["conv2"]["kernel"]
+        assert k.shape == (3, 3, 4, 128), k.shape
+
     def test_convnext(self):
         bb = ConvNeXtBackbone(arch="conv_t", return_indices=(1, 2, 3))
         assert bb.num_channels == [192, 384, 768]

@@ -60,6 +60,33 @@ class TestCheckpoint:
             restored50["params"]["dense"]["kernel"], s2["params"]["dense"]["kernel"]
         )
 
+    def test_restore_weights_from_train_checkpoint(self, tmp_path):
+        """Eval/export restore must work WITHOUT an optimizer-state template:
+        a train checkpoint carries the full AdamW state, which the eval
+        process can neither reconstruct nor wants (reference test.py:107-112
+        loads weights only)."""
+        import optax
+
+        from salience_detr_tpu.parallel.train_step import TrainState
+
+        params = small_state()["params"]
+        tx = optax.adam(1e-3)
+        full = TrainState(
+            step=jnp.asarray(7, jnp.int32), params=params,
+            frozen={"bn": {"mean": jnp.zeros(8)}}, batch_stats={},
+            opt_state=tx.init(params),
+        )
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(0, jax.device_get(full))
+        got = mgr.restore_weights()
+        assert int(got["step"]) == 7
+        np.testing.assert_allclose(
+            got["params"]["dense"]["kernel"], params["dense"]["kernel"]
+        )
+        np.testing.assert_allclose(got["frozen"]["bn"]["mean"], 0.0)
+        empty = CheckpointManager(str(tmp_path / "empty"))
+        assert empty.restore_weights() is None
+
     def test_tolerant_update(self):
         params = small_state()["params"]
         updates = {

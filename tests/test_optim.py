@@ -43,6 +43,59 @@ class TestParamGroups:
         # Conv2dNormActivation parity) -> other
         assert param_group_of(path("transformer", "neck", "lateral_convs_0", "bn", "scale")) == "other"
 
+    def test_backbone_only_grouping(self):
+        """finetune_backbone_param (reference param_dict.py:15-28): two
+        groups, uniform weight decay."""
+        from salience_detr_tpu.engine.optim import PARAM_GROUPINGS
+
+        classify, lr, wd = PARAM_GROUPINGS["finetune_backbone_param"]
+        assert classify(path("backbone", "layer2_0", "conv1", "kernel")) == "backbone"
+        assert classify(path("backbone", "bn1", "bias")) == "backbone"
+        assert classify(path("transformer", "enc_output_norm", "scale")) == "other"
+        assert lr == {"other": 1.0, "backbone": 0.1}
+        assert wd["backbone"] and wd["other"]
+
+    def test_no_norm_wd_grouping(self):
+        """finetune_backbone_with_no_norm_weight_decay (param_dict.py:31-76):
+        norm-MODULE params lose wd (incl. their scale), but biases of
+        non-norm modules keep it."""
+        from salience_detr_tpu.engine.optim import PARAM_GROUPINGS
+
+        classify, lr, wd = PARAM_GROUPINGS[
+            "finetune_backbone_with_no_norm_weight_decay"
+        ]
+        assert classify(path("backbone", "bn1", "scale")) == "backbone_norm"
+        assert classify(path("backbone", "layer1_0", "conv1", "kernel")) == "backbone"
+        # a bias belonging to a NON-norm module keeps weight decay (unlike
+        # the 6-group default, which drops wd for all biases)
+        assert classify(path("transformer", "enc_output", "bias")) == "other"
+        assert classify(path("transformer", "enc_output_norm", "bias")) == "other_norm"
+        # repnet fbn / gn are norm modules here (class-based in the ref)
+        assert classify(path("transformer", "neck", "x", "fbn", "scale")) == "other_norm"
+        assert not wd["other_norm"] and not wd["backbone_norm"]
+        assert lr["backbone"] == 0.1 and lr["backbone_norm"] == 0.1
+
+    def test_build_optimizer_accepts_groupings(self):
+        params = {
+            "backbone": {"conv1": {"kernel": jnp.ones((3, 3, 3, 8))}},
+            "transformer": {"enc_output": {"kernel": jnp.ones((8, 8)),
+                                           "bias": jnp.zeros((8,))}},
+        }
+        sched = make_lr_schedule(1e-4, steps_per_epoch=10)
+        for name in ("finetune_backbone_param",
+                     "finetune_backbone_with_no_norm_weight_decay"):
+            tx = build_optimizer(params, sched, grouping=name)
+            state = tx.init(params)
+            grads = jax.tree.map(jnp.ones_like, params)
+            updates, _ = tx.update(grads, state, params)
+            # backbone updates are 0.1x the head updates under both variants
+            bb = updates["backbone"]["conv1"]["kernel"]
+            head = updates["transformer"]["enc_output"]["kernel"]
+            np.testing.assert_allclose(
+                np.abs(np.asarray(bb)).mean() / np.abs(np.asarray(head)).mean(),
+                0.1, rtol=0.05,
+            )
+
     def test_lr_schedule(self):
         sched = make_lr_schedule(1e-4, steps_per_epoch=100, milestones=[10], gamma=0.1,
                                  warmup_factor=1e-3, warmup_steps=50)

@@ -65,3 +65,28 @@ def test_rules_cover_full_tree_large_backbones(backbone):
 
 def test_r50_dispatch_matches_legacy():
     assert salience_detr_rules("resnet50") == salience_detr_r50_rules()
+
+
+def test_resnext_backbone_rules_cover_backbone_tree():
+    """Grouped-conv archs: rule dsts must cover the backbone subtree exactly
+    (torchvision resnext param names differ from resnet50 only in shapes)."""
+    from salience_detr_tpu.models.backbones.resnet import ResNetBackbone
+    from salience_detr_tpu.utils.weight_converter import backbone_rules
+
+    bb = ResNetBackbone(arch="resnext50_32x4d", return_indices=(1, 2, 3))
+    shapes = jax.eval_shape(
+        lambda: bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    )
+    flat = flatten_variables(
+        jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
+    )
+    tree_paths = {
+        k.replace("params/", "params/backbone/").replace(
+            "frozen/", "frozen/backbone/"
+        )
+        for k in flat
+    }
+    dsts = {dst for _, dst, _ in backbone_rules("resnext50_32x4d")}
+    assert tree_paths == dsts, (
+        sorted(tree_paths - dsts)[:10], sorted(dsts - tree_paths)[:10]
+    )

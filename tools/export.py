@@ -45,10 +45,19 @@ def main():
         lambda: model.init({"params": jax.random.PRNGKey(0)}, images, sizes, train=False)
     )()
     if args.checkpoint:
+        # restore a trained orbax checkpoint into the variable collections
+        # (the reference exports a trained model, pytorch2onnx.py:99-107)
         from salience_detr_tpu.utils.checkpoint import CheckpointManager
 
-        # restore params-only from an orbax checkpoint into variables
-        raise SystemExit("checkpoint restore for export: use test.py pipeline")
+        restored = CheckpointManager(args.checkpoint).restore_weights()
+        if restored is None:
+            raise SystemExit(f"no checkpoint found under {args.checkpoint}")
+        variables = {"params": restored["params"]}
+        if restored["frozen"]:
+            variables["frozen"] = restored["frozen"]
+        if restored["batch_stats"]:
+            variables["batch_stats"] = restored["batch_stats"]
+        print(f"restored checkpoint from {args.checkpoint}")
 
     def fwd(images, sizes):
         out = model.apply(variables, images, sizes, train=False)

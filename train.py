@@ -31,6 +31,13 @@ def parse_args():
         "(the reference's accelerator.accumulate, main.py:36-38); the batch "
         "size must be divisible by it",
     )
+    p.add_argument(
+        "--pretrained-backbone", default=None,
+        help="ImageNet .pth (bare torchvision/timm names) converted into the "
+        "backbone before training — the reference loads these inside every "
+        "backbone factory (resnet.py:398-426); overrides the config's "
+        "backbone_weights",
+    )
     p.add_argument("--use-deterministic-algorithms", action="store_true")
     p.add_argument("--dry-run-steps", type=int, default=0,
                    help="stop after N steps (smoke testing)")
@@ -150,10 +157,35 @@ def main():
             betas=tuple(cfg.get("betas", (0.9, 0.999))),
             max_norm=cfg.get("max_norm", 0.1),
             frozen_predicate=frozen_param_predicate(model_cfg.backbone_freeze_indices),
+            grouping=cfg.get(
+                "param_dicts", "finetune_backbone_and_linear_projection"
+            ),
         )
         state = create_train_state(
             model, tx, dummy_images, dummy_sizes, dummy_targets, seed=seed
         )
+
+        backbone_weights = args.pretrained_backbone or cfg.get("backbone_weights")
+        if backbone_weights:
+            from salience_detr_tpu.utils.weight_converter import (
+                load_pretrained_backbone,
+            )
+
+            updated = load_pretrained_backbone(
+                jax.device_get(
+                    {"params": state.params, "frozen": state.frozen,
+                     "batch_stats": state.batch_stats}
+                ),
+                backbone_weights,
+                backbone=model_cfg.backbone,
+                stage_with_dcn=tuple(model_cfg.stage_with_dcn),
+                logger=logger,
+            )
+            state = state.replace(
+                params=updated["params"], frozen=updated.get("frozen", {}),
+                batch_stats=updated.get("batch_stats", {}),
+            )
+            logger.info(f"Loaded pretrained backbone from {backbone_weights}")
 
         ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
         best = HighestCheckpoint(ckpt)
@@ -189,8 +221,12 @@ def main():
                 import itertools
 
                 loader = itertools.islice(iter(loader), args.dry_run_steps)
+            # fold the epoch into the key: each epoch draws a fresh noise
+            # stream (denoising groups, dropout), and resume at epoch E
+            # replays E's stream exactly regardless of how many epochs ran
+            # in the previous process
             state, global_step = train_one_epoch(
-                train_step, state, loader, rng, epoch,
+                train_step, state, loader, jax.random.fold_in(rng, epoch), epoch,
                 print_freq=cfg.get("print_freq", 50), logger=logger,
                 tracker=tracker.log, global_step=global_step,
             )
