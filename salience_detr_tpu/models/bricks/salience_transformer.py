@@ -422,6 +422,9 @@ class SalienceTransformer(nn.Module):
         focus_token_nums = (valid_token_nums.astype(jnp.float32) * ratios).astype(jnp.int32)
         focus_token_nums = jnp.sum(focus_token_nums, -1)  # (B,)
 
+        # high -> low level salience cascade (:128-153)
+        selected_score, selected_inds, salience_score = [], [], [None] * L
+        score = None
         with jax.named_scope("salience_cascade"):
             for level_idx in range(L - 1, -1, -1):
                 h, w = spatial_shapes[level_idx]
