@@ -209,7 +209,14 @@ def ms_deform_attn_core_shared(
         einsum on v5e (tools/bench_msda2.py shootout): stage 1 collapses the
         4 bilinear corners with PER-ROW SCALAR weights, stage 2 applies the
         per-head attention.  Gather width does not matter on this chip (512B
-        to 2KB rows time identically), so plain corner rows are gathered."""
+        to 2KB rows time identically), so plain corner rows are gathered.
+
+        The gathered rows stay in the VALUE dtype through stage 1 (f32
+        accumulation via preferred_element_type): converting the 1.5 GB of
+        bf16 rows to f32 first materializes a separate ~7 ms retiling pass
+        per hot layer AND doubles the bytes the corner einsum reads (the
+        round-3 device trace showed 26 ms/iter of reshape.40xx converts plus
+        29 ms of f32 corner einsums across the 6 encoder layers)."""
         Qc = idx_c.shape[1]
         # indices are clamped in-bounds above; the default fill-mode take adds
         # a compare+select pass over the gathered gigabytes (seen as 12ms
@@ -219,9 +226,12 @@ def ms_deform_attn_core_shared(
             # named for the remat policy: the gathered rows (~1.5GB/layer) are
             # the one activation we always recompute instead of saving
             g = checkpoint_name(g, "msda_gather")
-        g = g.reshape(B, Qc, L, 4, P, C).astype(jnp.float32)
-        cw5 = cw_c.reshape(B, Qc, L, 4, P)
-        sampled = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw5, g)  # (B, Qc, L, P, C)
+        g = g.reshape(B, Qc, L, 4, P, C)
+        cw5 = cw_c.reshape(B, Qc, L, 4, P).astype(g.dtype)
+        sampled = jnp.einsum(
+            "bqlcp,bqlcpe->bqlpe", cw5, g,
+            preferred_element_type=jnp.float32,
+        )  # (B, Qc, L, P, C) f32
         sampled = sampled.reshape(B, Qc, L, P, H, D)
         out_c = jnp.einsum("bqhlp,bqlphd->bqhd", attn_c, sampled)
         return out_c.reshape(B, Qc, C)

@@ -55,6 +55,12 @@ def main():
             lambda: model.init({"params": jax.random.PRNGKey(0)}, images, sizes, train=False)
         )()
         step = jax.jit(lambda im: model.apply(variables, im, sizes, train=False))
+        # dump THIS compile's HLO so tools/trace_report.py can map op names
+        # to named scopes (op names only match within the same compile)
+        compiled = step.lower(images).compile()
+        os.makedirs(args.logdir, exist_ok=True)
+        with open(os.path.join(args.logdir, "hlo.txt"), "w") as f:
+            f.write(compiled.as_text())
         out = step(images)  # compile outside the trace
         jax.block_until_ready(out)
         with jax.profiler.trace(args.logdir):
