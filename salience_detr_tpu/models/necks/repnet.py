@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from salience_detr_tpu.models.layers import GlobalContextSE
@@ -27,6 +28,52 @@ def _nearest_resize(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     rows = (jnp.arange(oh) * h // oh).astype(jnp.int32)
     cols = (jnp.arange(ow) * w // ow).astype(jnp.int32)
     return x[:, rows][:, :, cols]
+
+
+class _BlockDiagGroupConv(nn.Module):
+    """Grouped conv executed as a DENSE conv with a block-diagonal kernel.
+
+    XLA's TPU lowering of feature_group_count=4 at 64 channels/group emits
+    (…, 4, 64)-shaped intermediates whose 64-lane minor dim wastes half of
+    every (8, 128) vector register, plus layout copies on both sides (the
+    round-3 device trace showed the repnet neck spending ~2 ms/iter in such
+    copies).  Embedding the grouped kernel on the diagonal of a dense
+    (k, k, C, C) kernel is numerically identical, keeps the stored parameter
+    in the grouped (k, k, C/g, C) shape the weight converter expects
+    (/root/reference/models/necks/repnet.py:198-203), and runs at full MXU
+    lane utilization — the 4x extra MACs multiply zeros, which is cheaper
+    than half-empty vregs."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    groups: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        gin = in_ch // self.groups
+        gout = self.features // self.groups
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (k, k, gin, self.features),
+        )
+        dense = jnp.zeros((k, k, in_ch, self.features), self.dtype)
+        for g in range(self.groups):
+            dense = dense.at[:, :, g * gin : (g + 1) * gin, g * gout : (g + 1) * gout].set(
+                kernel[:, :, :, g * gout : (g + 1) * gout].astype(self.dtype)
+            )
+        pad = (k - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            dense,
+            window_strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class ConvBNAct(nn.Module):
@@ -44,17 +91,22 @@ class ConvBNAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.kernel_size - 1) // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
-            name="conv",
-        )(x)
+        if self.groups == 1:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                use_bias=False,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+                name="conv",
+            )(x)
+        else:
+            x = _BlockDiagGroupConv(
+                self.features, self.kernel_size, self.stride, self.groups,
+                self.dtype, name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

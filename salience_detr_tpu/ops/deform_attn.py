@@ -211,12 +211,19 @@ def ms_deform_attn_core_shared(
         per-head attention.  Gather width does not matter on this chip (512B
         to 2KB rows time identically), so plain corner rows are gathered.
 
-        The gathered rows stay in the VALUE dtype through stage 1 (f32
-        accumulation via preferred_element_type): converting the 1.5 GB of
-        bf16 rows to f32 first materializes a separate ~7 ms retiling pass
-        per hot layer AND doubles the bytes the corner einsum reads (the
-        round-3 device trace showed 26 ms/iter of reshape.40xx converts plus
-        29 ms of f32 corner einsums across the 6 encoder layers)."""
+        The whole reduce runs in the VALUE dtype (stage 2 accumulates f32):
+        XLA retiles the gathered rows to a corner-minor T(4,128) layout
+        before its reduce no matter what (round-3 trace: reshape.41xx), so
+        the one lever left is the WIDTH of that retile + reduce — bf16 end
+        to end measured 12.0 ms vs 19.4 ms for the f32-accumulated einsum on
+        the pre-gathered hot layer (tools/bench_msda5.py).  A Pallas
+        streaming collapse of the same rows was measured too (10.6 ms
+        standalone) but loses its edge once the bf16 einsum's smaller
+        stage-2 read is counted, and the corner-blocked orderings that
+        would help it cost the gather its pair locality (51-64 ms
+        end-to-end, bench_msda2 blk128/pl_blk).  Bilinear corner sums in
+        bf16 round at ~2^-8 relative — inside every quality tolerance used
+        here (the exact per-head path below stays f32)."""
         Qc = idx_c.shape[1]
         # indices are clamped in-bounds above; the default fill-mode take adds
         # a compare+select pass over the gathered gigabytes (seen as 12ms
@@ -228,12 +235,12 @@ def ms_deform_attn_core_shared(
             g = checkpoint_name(g, "msda_gather")
         g = g.reshape(B, Qc, L, 4, P, C)
         cw5 = cw_c.reshape(B, Qc, L, 4, P).astype(g.dtype)
-        sampled = jnp.einsum(
-            "bqlcp,bqlcpe->bqlpe", cw5, g,
-            preferred_element_type=jnp.float32,
-        )  # (B, Qc, L, P, C) f32
+        sampled = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw5, g)  # value dtype
         sampled = sampled.reshape(B, Qc, L, P, H, D)
-        out_c = jnp.einsum("bqhlp,bqlphd->bqhd", attn_c, sampled)
+        out_c = jnp.einsum(
+            "bqhlp,bqlphd->bqhd", attn_c.astype(g.dtype), sampled,
+            preferred_element_type=jnp.float32,
+        )
         return out_c.reshape(B, Qc, C)
 
     # chunk over queries so the materialized corner rows stay bounded

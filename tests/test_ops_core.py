@@ -6,6 +6,8 @@ differential strategy)."""
 
 import math
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -177,3 +179,63 @@ class TestMisc:
         assert flat.shape == (2, 30, 5)
         assert float(flat[0, 23, 0]) == 1.0 and float(flat[0, 24, 0]) == 2.0
         np.testing.assert_array_equal(M.level_start_index(shapes), [0, 24])
+
+
+class TestBlockDiagGroupConv:
+    """The repnet grouped convs run as block-diagonal DENSE convs on TPU
+    (lane-utilization, see necks/repnet.py _BlockDiagGroupConv); the dense
+    expansion must be numerically identical to feature_group_count and share
+    the grouped parameter tree the weight converter maps."""
+
+    def test_matches_grouped_conv(self):
+        import flax.linen as nn
+
+        from salience_detr_tpu.models.necks.repnet import _BlockDiagGroupConv
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 9, 11, 16)).astype(np.float32))
+
+        class Grouped(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Conv(
+                    16, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=4,
+                    use_bias=False, name="conv",
+                )(x)
+
+        class Dense(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return _BlockDiagGroupConv(16, 3, 1, 4, name="conv")(x)
+
+        variables = Grouped().init(jax.random.PRNGKey(0), x)
+        assert variables["params"]["conv"]["kernel"].shape == (3, 3, 4, 16)
+        want = Grouped().apply(variables, x)
+        got = Dense().apply(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    def test_stride_and_1x1(self):
+        import flax.linen as nn
+
+        from salience_detr_tpu.models.necks.repnet import _BlockDiagGroupConv
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+
+        class Grouped(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Conv(
+                    8, (1, 1), strides=(2, 2), padding=[(0, 0), (0, 0)],
+                    feature_group_count=2, use_bias=False, name="conv",
+                )(x)
+
+        class Dense(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return _BlockDiagGroupConv(8, 1, 2, 2, name="conv")(x)
+
+        variables = Grouped().init(jax.random.PRNGKey(1), x)
+        want = Grouped().apply(variables, x)
+        got = Dense().apply(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

@@ -562,6 +562,189 @@ def four_gather(value, locs, w):
     return out.reshape(B, Q, C)
 
 
+def _corner_blocked(locs, blk=128):
+    """Flat corner indices/weights PERMUTED so each group of 4*blk gathered
+    rows holds blk items' corner-0 rows, then corner-1, -2, -3 (corner-major
+    within a block).  The corner collapse then needs only CONTIGUOUS blk-row
+    slice-adds on the 2D gather output — no 6-D view, so no T(8,128)->
+    T(4,128) retile of the gathered gigabytes (the round-3 trace's 26 ms of
+    reshape.41xx) and no strided/misaligned reads (what sank
+    two_stage_slices).  returns idx (G*4*blk,) per batch-flat, cw same order,
+    n_items, n_pad."""
+    idx, cw = corners_pmajor(locs)  # (B,Q,L,P,4)
+    B_, Q = idx.shape[:2]
+    base = (jnp.arange(B_, dtype=jnp.int32) * S)[:, None, None, None, None]
+    idx = (idx + base).reshape(-1, 4)  # (items, 4) item-major
+    cw = cw.reshape(-1, 4)
+    n_items = idx.shape[0]
+    n_pad = (-n_items) % blk
+    if n_pad:
+        idx = jnp.pad(idx, ((0, n_pad), (0, 0)))
+        cw = jnp.pad(cw, ((0, n_pad), (0, 0)))
+    G = (n_items + n_pad) // blk
+    idx = jnp.transpose(idx.reshape(G, blk, 4), (0, 2, 1))  # (G, 4, blk)
+    cw = jnp.transpose(cw.reshape(G, blk, 4), (0, 2, 1))
+    return idx.reshape(-1), cw.reshape(G, 4, blk), n_items, n_pad
+
+
+def _blk128_sampled(value, locs, out_dtype, blk=128):
+    """Corner-blocked gather + contiguous slice-add corner collapse.
+    returns sampled (B, Q, L, P, C)."""
+    Q = locs.shape[1]
+    idx, cw, n_items, n_pad = _corner_blocked(locs, blk)
+    vf = value.reshape(B * S, C)
+    g = vf.at[idx].get(mode="promise_in_bounds")  # (G*4*blk, C) bf16
+    G = cw.shape[0]
+    g = g.reshape(G, 4, blk, C)
+    gw = g.astype(jnp.float32) * cw[..., None]  # fused into the consumer
+    sampled = gw[:, 0] + gw[:, 1] + gw[:, 2] + gw[:, 3]  # (G, blk, C)
+    sampled = sampled.reshape(-1, C)
+    if n_pad:
+        sampled = sampled[:-n_pad]
+    return sampled.reshape(B, Q, L, P, C).astype(out_dtype)
+
+
+def blk128(value, locs, w):
+    """Corner-blocked stage 1 (f32 sampled) + per-head einsum stage 2."""
+    Q = locs.shape[1]
+    sampled = _blk128_sampled(value, locs, jnp.float32)
+    out = jnp.einsum("bqhlp,bqlphd->bqhd", w, sampled.reshape(B, Q, L, P, H, D))
+    return out.reshape(B, Q, C)
+
+
+def blk128_bf16(value, locs, w):
+    """Corner-blocked stage 1 downcast to bf16 (halves stage-2 read traffic)."""
+    Q = locs.shape[1]
+    sampled = _blk128_sampled(value, locs, jnp.bfloat16)
+    out = jnp.einsum(
+        "bqhlp,bqlphd->bqhd", w.astype(jnp.bfloat16),
+        sampled.reshape(B, Q, L, P, H, D), preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Q, C)
+
+
+def _make_blk_kernel(blk):
+    def _blk_kernel(g_ref, w_ref, o_ref):
+        # g: (1, 4*blk, C) bf16 corner-major; w: (1, 4*blk, 1) f32; o: (1, blk, C)
+        gw = g_ref[0].astype(jnp.float32) * w_ref[0]
+        o_ref[0] = (
+            (gw[0:blk] + gw[blk : 2 * blk])
+            + (gw[2 * blk : 3 * blk] + gw[3 * blk : 4 * blk])
+        ).astype(o_ref.dtype)
+
+    return _blk_kernel
+
+
+def _pl_blk_sampled(value, locs, out_dtype, blk=512):
+    Q = locs.shape[1]
+    idx, cw, n_items, n_pad = _corner_blocked(locs, blk)
+    vf = value.reshape(B * S, C)
+    g = vf.at[idx].get(mode="promise_in_bounds")
+    G = cw.shape[0]
+    sampled = pl.pallas_call(
+        _make_blk_kernel(blk),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 4 * blk, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * blk, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, blk, C), out_dtype),
+        interpret=INTERPRET,
+    )(g.reshape(G, 4 * blk, C), cw.reshape(G, 4 * blk, 1))
+    sampled = sampled.reshape(-1, C)
+    if n_pad:
+        sampled = sampled[:-n_pad]
+    return sampled.reshape(B, Q, L, P, C)
+
+
+def _make_nat_kernel(blk):
+    def _nat_kernel(g_ref, w_ref, o_ref):
+        # g: (1, blk, 4*C) bf16 — row = one (q,l,p) item, 4 corner rows packed
+        #    into contiguous 256-lane blocks (a pure bitcast of the gather).
+        # w: (1, blk, 4) f32 corner weights; o: (1, blk, C).
+        g = g_ref[0]
+        w4 = w_ref[0]
+        acc = g[:, 0:C].astype(jnp.float32) * w4[:, 0:1]
+        acc += g[:, C : 2 * C].astype(jnp.float32) * w4[:, 1:2]
+        acc += g[:, 2 * C : 3 * C].astype(jnp.float32) * w4[:, 2:3]
+        acc += g[:, 3 * C : 4 * C].astype(jnp.float32) * w4[:, 3:4]
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+    return _nat_kernel
+
+
+def _pl_nat_sampled(value, locs, out_dtype, blk=512):
+    """Natural pmajor gather order (corner pairs stay memory-adjacent, unlike
+    the corner-blocked permutation that cost the gather its locality), then a
+    Pallas streaming corner collapse over contiguous lane slices."""
+    Q = locs.shape[1]
+    idx, cw = corners_pmajor(locs)  # (B,Q,L,P,4)
+    B_ = idx.shape[0]
+    base = (jnp.arange(B_, dtype=jnp.int32) * S)[:, None, None, None, None]
+    idx = (idx + base).reshape(-1, 4)
+    cw = cw.reshape(-1, 4)
+    n_items = idx.shape[0]
+    n_pad = (-n_items) % blk
+    if n_pad:
+        idx = jnp.pad(idx, ((0, n_pad), (0, 0)))
+        cw = jnp.pad(cw, ((0, n_pad), (0, 0)))
+    G = (n_items + n_pad) // blk
+    vf = value.reshape(B * S, C)
+    g = vf.at[idx.reshape(-1)].get(mode="promise_in_bounds")  # (G*blk*4, C)
+    sampled = pl.pallas_call(
+        _make_nat_kernel(blk),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, blk, 4 * C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, blk, C), out_dtype),
+        interpret=INTERPRET,
+    )(g.reshape(G, blk, 4 * C), cw.reshape(G, blk, 4))
+    sampled = sampled.reshape(-1, C)
+    if n_pad:
+        sampled = sampled[:-n_pad]
+    return sampled.reshape(B, Q, L, P, C)
+
+
+def pl_nat(value, locs, w):
+    Q = locs.shape[1]
+    sampled = _pl_nat_sampled(value, locs, jnp.float32)
+    out = jnp.einsum("bqhlp,bqlphd->bqhd", w, sampled.reshape(B, Q, L, P, H, D))
+    return out.reshape(B, Q, C)
+
+
+def pl_nat_bf16(value, locs, w):
+    Q = locs.shape[1]
+    sampled = _pl_nat_sampled(value, locs, jnp.bfloat16)
+    out = jnp.einsum(
+        "bqhlp,bqlphd->bqhd", w.astype(jnp.bfloat16),
+        sampled.reshape(B, Q, L, P, H, D), preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Q, C)
+
+
+def pl_blk(value, locs, w):
+    """Corner-blocked gather + Pallas streaming corner collapse (f32 out)."""
+    Q = locs.shape[1]
+    sampled = _pl_blk_sampled(value, locs, jnp.float32)
+    out = jnp.einsum("bqhlp,bqlphd->bqhd", w, sampled.reshape(B, Q, L, P, H, D))
+    return out.reshape(B, Q, C)
+
+
+def pl_blk_bf16(value, locs, w):
+    """Corner-blocked Pallas collapse with bf16 sampled (halves stage-2 read)."""
+    Q = locs.shape[1]
+    sampled = _pl_blk_sampled(value, locs, jnp.bfloat16)
+    out = jnp.einsum(
+        "bqhlp,bqlphd->bqhd", w.astype(jnp.bfloat16),
+        sampled.reshape(B, Q, L, P, H, D), preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Q, C)
+
+
 def check(fn, Q=256):
     value, locs, w = make_inputs(Q)
     ref = ms_deform_attn_core_shared(value, SHAPES, locs, w, H)

@@ -38,6 +38,12 @@ def main():
         "two_stage_slices2": m2.two_stage_slices2,
         "int8_rows": m2.int8_rows,
         "four_gather": m2.four_gather,
+        "blk128": m2.blk128,
+        "blk128_bf16": m2.blk128_bf16,
+        "pl_blk": m2.pl_blk,
+        "pl_blk_bf16": m2.pl_blk_bf16,
+        "pl_nat": m2.pl_nat,
+        "pl_nat_bf16": m2.pl_nat_bf16,
     }
     if os.environ.get("CHECK", "0") == "1":
         for name in which:
