@@ -21,24 +21,41 @@ from typing import Any, Dict
 
 
 class Config:
-    """Executes a Python config file and exposes its globals as attributes."""
+    """Executes a Python config file and exposes its globals as attributes.
 
-    def __init__(self, path: str, **overrides: Any):
+    ``lazy=("model",)`` / ``partials=("optimizer",)`` defer the named
+    assignments instead of running them — the reference's AST-rewriting
+    registry (``/root/reference/util/lazy_load.py:17-76``); a lazy name
+    becomes a ``LazySpec`` replayed later with
+    :func:`salience_detr_tpu.utils.lazy.instantiate`, a partial name a
+    ``functools.partial``.
+    """
+
+    def __init__(self, path: str, lazy=(), partials=(), **overrides: Any):
         path = os.path.abspath(path)
         if not os.path.exists(path):
             raise FileNotFoundError(path)
-        name = f"_cfg_{abs(hash(path))}"
-        spec = importlib.util.spec_from_file_location(name, path)
-        module = importlib.util.module_from_spec(spec)
         # allow configs to import siblings
         sys.path.insert(0, os.path.dirname(path))
         try:
-            spec.loader.exec_module(module)
+            if lazy or partials:
+                from salience_detr_tpu.utils.lazy import defer_assignments
+
+                with open(path) as f:
+                    source = f.read()
+                source, namespace = defer_assignments(source, lazy, partials)
+                exec(compile(source, path, "exec"), namespace)
+            else:
+                name = f"_cfg_{abs(hash(path))}"
+                spec = importlib.util.spec_from_file_location(name, path)
+                module = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(module)
+                namespace = vars(module)
         finally:
             sys.path.pop(0)
         self._values: Dict[str, Any] = {
             k: v
-            for k, v in vars(module).items()
+            for k, v in namespace.items()
             if not k.startswith("_") and not isinstance(v, types.ModuleType)
         }
         self._values.update(overrides)
