@@ -232,7 +232,10 @@ class SalienceTransformer(nn.Module):
     remat_layers: bool = True
     # "full": recompute everything per layer (lowest memory);
     # "selective": save all residuals except the named msda gathers — fewer
-    # recomputed matmuls per backward at higher activation memory
+    # recomputed matmuls per backward at higher activation memory;
+    # "dots": save matmul/einsum outputs only (jax.checkpoint_policies.
+    # checkpoint_dots) — the MSDA gathers are not dots, so the ~1.5GB/layer
+    # gathered rows still rematerialize while projections/FFNs don't
     remat_policy: str = "full"
     dtype: Any = jnp.float32
 
@@ -264,6 +267,8 @@ class SalienceTransformer(nn.Module):
             remat_kwargs["policy"] = jax.checkpoint_policies.save_anything_except_these_names(
                 "msda_gather"
             )
+        elif self.remat_policy == "dots":
+            remat_kwargs["policy"] = jax.checkpoint_policies.checkpoint_dots
         enc_cls = (
             nn.remat(SalienceEncoderLayer, static_argnums=(5,), **remat_kwargs)
             if self.remat_layers
