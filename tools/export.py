@@ -25,7 +25,94 @@ def parse_args():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--output", default="exported_model.stablehlo")
     p.add_argument("--verify", action="store_true", default=True)
+    p.add_argument(
+        "--with-postprocess", action="store_true",
+        help="bake PostProcess into the artifact: the exported function "
+        "becomes (images, image_sizes, orig_sizes) -> {boxes, scores, "
+        "labels, valid} in original-image coordinates, runnable standalone "
+        "via ExportedDetector (the reference deploys detections, not "
+        "logits: pytorch2onnx.py:18-53)",
+    )
     return p.parse_args()
+
+
+class ExportedDetector:
+    """Deployment runner for a serialized StableHLO artifact — the TPU-world
+    counterpart of the reference's ``ONNXDetector``
+    (/root/reference/tools/pytorch2onnx.py:18-53): load the artifact, apply
+    the eval preprocessing (shortest-side resize + canvas pad + ImageNet
+    normalization, identical geometry to the live pipeline), execute, and
+    return per-image detections in original-image coordinates.
+
+    Requires an artifact exported with ``--with-postprocess``.  ``min_size``/
+    ``max_size`` must match the model config the artifact was exported from
+    (they are host-side preprocessing knobs, not part of the traced graph).
+    """
+
+    def __init__(self, path_or_blob, min_size: int = 800, max_size: int = 1333,
+                 score_threshold: float = 0.0):
+        from jax import export as jax_export
+
+        if isinstance(path_or_blob, (bytes, bytearray)):
+            blob = bytes(path_or_blob)
+        else:
+            with open(path_or_blob, "rb") as f:
+                blob = f.read()
+        self.exported = jax_export.deserialize(blob)
+        avals = self.exported.in_avals
+        if len(avals) != 3:
+            raise ValueError(
+                "artifact takes "
+                f"{len(avals)} inputs, expected 3 (images, image_sizes, "
+                "orig_sizes) — re-export with --with-postprocess"
+            )
+        self.batch = avals[0].shape[0]
+        self.canvas = tuple(avals[0].shape[1:3])
+        self.min_size, self.max_size = min_size, max_size
+        self.score_threshold = score_threshold
+
+    def __call__(self, images):
+        """``images``: one HWC RGB uint8 array or a list of exactly the
+        exported batch size; returns a list of {boxes (xyxy, original
+        coordinates), scores, labels} dicts (single dict for single input)."""
+        from salience_detr_tpu.data.loader import fit_to_canvas, pack_batch
+        from salience_detr_tpu.data.transforms import shortest_size
+        from salience_detr_tpu.models.detectors.salience_detr import normalize_images
+
+        single = not isinstance(images, (list, tuple))
+        if single:
+            images = [images]
+        if len(images) != self.batch:
+            raise ValueError(f"artifact was exported for batch {self.batch}, got {len(images)} images")
+        samples = []
+        for img in images:
+            img = np.asarray(img)
+            s = {
+                "image": img,
+                "boxes": np.zeros((0, 4), np.float32),
+                "labels": np.zeros((0,), np.int64),
+                "orig_size": img.shape[:2],
+            }
+            s = shortest_size(s, self.min_size, self.max_size)
+            if s["image"].shape[0] > self.canvas[0] or s["image"].shape[1] > self.canvas[1]:
+                s = fit_to_canvas(s, self.canvas)
+            samples.append(s)
+        batch = pack_batch(samples, self.canvas, max_gt=1)
+        dets = self.exported.call(
+            normalize_images(jnp.asarray(batch["images"], jnp.float32) / 255.0),
+            jnp.asarray(batch["image_sizes"]),
+            jnp.asarray(batch["orig_sizes"]),
+        )
+        dets = jax.device_get(dets)
+        out = []
+        for i in range(self.batch):
+            keep = dets["valid"][i].astype(bool) & (dets["scores"][i] > self.score_threshold)
+            out.append({
+                "boxes": dets["boxes"][i][keep],
+                "scores": dets["scores"][i][keep],
+                "labels": dets["labels"][i][keep],
+            })
+        return out[0] if single else out
 
 
 def main():
@@ -59,14 +146,27 @@ def main():
             variables["batch_stats"] = restored["batch_stats"]
         print(f"restored checkpoint from {args.checkpoint}")
 
-    def fwd(images, sizes):
-        out = model.apply(variables, images, sizes, train=False)
-        return out["pred_class"][-1], out["pred_coord"][-1]
+    if args.with_postprocess:
+        def fwd(images, sizes, orig_sizes):
+            out = model.apply(variables, images, sizes, train=False)
+            return postprocess(out["pred_class"][-1], out["pred_coord"][-1], orig_sizes)
 
-    exported = jax_export.export(jax.jit(fwd))(
-        jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32),
-        jax.ShapeDtypeStruct((B, 2), jnp.int32),
-    )
+        in_shapes = (
+            jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2), jnp.int32),
+            jax.ShapeDtypeStruct((B, 2), jnp.int32),
+        )
+    else:
+        def fwd(images, sizes):
+            out = model.apply(variables, images, sizes, train=False)
+            return out["pred_class"][-1], out["pred_coord"][-1]
+
+        in_shapes = (
+            jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2), jnp.int32),
+        )
+
+    exported = jax_export.export(jax.jit(fwd))(*in_shapes)
     blob = exported.serialize()
     with open(args.output, "wb") as f:
         f.write(blob)
@@ -75,9 +175,10 @@ def main():
     if args.verify:
         rng = np.random.default_rng(0)
         test_images = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
-        want = jax.jit(fwd)(test_images, sizes)
+        test_inputs = (test_images, sizes) + ((sizes,) if args.with_postprocess else ())
+        want = jax.jit(fwd)(*test_inputs)
         reloaded = jax_export.deserialize(blob)
-        got = reloaded.call(test_images, sizes)
+        got = reloaded.call(*test_inputs)
         for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
             np.testing.assert_allclose(
                 np.asarray(g, np.float32), np.asarray(w, np.float32),

@@ -91,6 +91,10 @@ def main():
             "boxes": targets.boxes, "gt_valid": targets.valid,
         }
         key = jax.random.PRNGKey(0)
+        compiled = train_step.lower(state, batch, key).compile()
+        os.makedirs(args.logdir, exist_ok=True)
+        with open(os.path.join(args.logdir, "hlo.txt"), "w") as f:
+            f.write(compiled.as_text())
         state, metrics = train_step(state, batch, key)  # compile outside
         jax.block_until_ready(metrics)
         with jax.profiler.trace(args.logdir):
