@@ -70,6 +70,12 @@ def main():
     p.add_argument("--workdir", default="/tmp/static_shape_validation")
     p.add_argument("--min-ap50", type=float, default=0.30)
     p.add_argument(
+        "--seed", type=int, default=0,
+        help="seeds data generation, loader shuffling, param init, and the "
+        "training noise streams — use several seeds per sampling variant to "
+        "separate the shared-vs-exact quality delta from run-to-run noise",
+    )
+    p.add_argument(
         "--exact-sampling", action="store_true",
         help="use the reference's exact per-head deformable sampling instead "
         "of the TPU-native head-shared fast path — run both and compare to "
@@ -96,7 +102,7 @@ def main():
     from salience_detr_tpu.utils.coco_eval import CocoEvaluator
 
     os.makedirs(args.workdir, exist_ok=True)
-    img_dir, ann_file = make_dataset(args.workdir, n_images=48, seed=0)
+    img_dir, ann_file = make_dataset(args.workdir, n_images=48, seed=args.seed)
 
     cfg = SalienceDETRConfig(
         backbone="resnet18", embed_dim=64, num_classes=NUM_CLASSES,
@@ -115,7 +121,7 @@ def main():
     M = 8
     train_loader = DetectionLoader(
         train_ds, args.batch, canvas_hw=CANVAS, max_gt=M, shuffle=True,
-        seed=0, num_workers=2,
+        seed=args.seed, num_workers=2,
     )
     val_loader = DetectionLoader(
         val_ds, args.batch, canvas_hw=CANVAS, max_gt=M, shuffle=False,
@@ -138,7 +144,9 @@ def main():
     )["params"]
     tx = build_optimizer(params0, schedule, max_norm=0.5,
                          frozen_predicate=frozen_param_predicate(()))
-    state = create_train_state(model, tx, images0, sizes0, targets0)
+    state = create_train_state(
+        model, tx, images0, sizes0, targets0, seed=args.seed
+    )
     step = make_train_step(model, crit, sal, tx, default_weight_dict(cfg.num_decoder_layers))
     eval_step = make_eval_step(model, post)
 
@@ -149,7 +157,7 @@ def main():
 
     i = 0
     epoch = 0
-    key = jax.random.PRNGKey(7)
+    key = jax.random.PRNGKey(7 + 1000 * args.seed)
     while i < args.steps:
         train_loader.set_epoch(epoch)
         for batch in train_loader:
@@ -169,6 +177,7 @@ def main():
         "ap": round(float(stats["AP"]), 4),
         "ap50": round(float(stats["AP50"]), 4),
         "steps": args.steps,
+        "seed": args.seed,
         "sampling": "exact" if args.exact_sampling else "shared",
         "passed": bool(stats["AP50"] >= args.min_ap50),
     }
