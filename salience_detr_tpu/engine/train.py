@@ -31,8 +31,13 @@ def train_one_epoch(
     logger=None,
     tracker: Optional[Callable[[Dict[str, float], int], None]] = None,
     global_step: int = 0,
+    stop_requested: Optional[Callable[[], bool]] = None,
 ):
-    """Runs one epoch; returns (state, global_step)."""
+    """Runs one epoch; returns (state, global_step).
+
+    ``stop_requested`` (e.g. utils.env.GracefulShutdown) is polled once per
+    step: when it fires, the epoch returns early with the post-step state so
+    the caller can checkpoint and exit (preemption handling)."""
     logger = logger or setup_logger()
     metric_logger = MetricLogger(logger=logger)
     header = f"Epoch: [{epoch}]"
@@ -42,6 +47,11 @@ def train_one_epoch(
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, batch, step_rng)
         steps += 1
+        if stop_requested is not None and stop_requested():
+            logger.warning(
+                f"stop requested at epoch {epoch} step {i}: ending epoch early"
+            )
+            break
 
         if i % print_freq == 0:
             # fetch the (async) metrics; one device sync per interval

@@ -50,3 +50,54 @@ def seed_everything(seed: Optional[int] = None) -> int:
     random.seed(seed)
     np.random.seed(seed % (2**32))
     return seed
+
+
+class GracefulShutdown:
+    """Preemption-aware stop flag: installs SIGTERM/SIGINT handlers that set
+    a flag instead of killing the process, so the training loop can finish
+    the in-flight step, write a checkpoint, and exit cleanly.
+
+    The reference has no preemption story (recovery is manual re-launch,
+    SURVEY.md §5.3); on TPU pods — which are routinely preempted — a
+    checkpoint-on-SIGTERM turns preemption into an ordinary resume.
+
+    Usage::
+
+        with GracefulShutdown() as stop:
+            for epoch in ...:
+                state, step = train_one_epoch(..., stop_requested=stop)
+                if stop.requested:
+                    ckpt.save(epoch, state, force=True)
+                    break
+    """
+
+    def __init__(self, signals=None, logger=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.signals = tuple(signals) if signals else (_signal.SIGTERM, _signal.SIGINT)
+        self.logger = logger
+        self.requested = False
+        self._previous = {}
+
+    def __call__(self) -> bool:
+        return self.requested
+
+    def _handler(self, signum, frame):
+        self.requested = True
+        msg = f"received signal {signum}: finishing step, then checkpoint + exit"
+        if self.logger is not None:
+            self.logger.warning(msg)
+        else:
+            print(msg, file=sys.stderr, flush=True)
+
+    def __enter__(self):
+        for sig in self.signals:
+            self._previous[sig] = self._signal.signal(sig, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for sig, prev in self._previous.items():
+            self._signal.signal(sig, prev)
+        self._previous.clear()
+        return False

@@ -153,3 +153,69 @@ class TestDeformAttnCore:
             + np.asarray(offsets) / P * np.asarray(ref4)[:, :, None, :, None, 2:] * 0.5
         )
         np.testing.assert_allclose(np.asarray(loc4), want4, atol=1e-6)
+
+
+class TestQuadCore:
+    """ms_deform_attn_core_quad must be numerically identical to the plain
+    exact core (same corners/weights, quad-packed addressing)."""
+
+    def test_matches_exact_core(self):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_quad
+
+        value, locs, w = make_inputs(11)
+        a = np.asarray(
+            ms_deform_attn_core(jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w))
+        )
+        b = np.asarray(
+            ms_deform_attn_core_quad(jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w))
+        )
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+    def test_matches_numpy_spec_at_borders(self):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_quad
+
+        # stress the base-clamping/slot-reassignment: locations straddling
+        # every border, plus far out-of-image points (zero contribution)
+        value, _, w = make_inputs(12)
+        rng = np.random.default_rng(13)
+        locs = rng.uniform(-0.5, 1.5, size=(2, 7, 2, len(SHAPES), 3, 2)).astype(np.float32)
+        locs[0, 0] = -3.0   # fully outside
+        locs[0, 1] = 0.999  # bottom-right corner pixel
+        locs[0, 2] = 0.001  # top-left corner pixel
+        got = np.asarray(
+            ms_deform_attn_core_quad(jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w))
+        )
+        want = deform_attn_numpy_spec(value, SHAPES, locs, w)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_single_row_and_column_levels(self):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_quad
+
+        # h==1 / w==1 levels: the quad's second row/col never exists, the
+        # clip lower bound max(w-2, 0) must not go negative
+        shapes = [(1, 5), (3, 1), (1, 1)]
+        s = sum(h * w for h, w in shapes)
+        rng = np.random.default_rng(14)
+        value = rng.normal(size=(1, s, 2, 4)).astype(np.float32)
+        locs = rng.uniform(-0.2, 1.2, size=(1, 5, 2, 3, 2, 2)).astype(np.float32)
+        w = rng.uniform(size=(1, 5, 2, 3, 2)).astype(np.float32)
+        w = w / w.sum(axis=(-2, -1), keepdims=True)
+        got = np.asarray(
+            ms_deform_attn_core_quad(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w))
+        )
+        want = deform_attn_numpy_spec(value, shapes, locs, w)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_gradients_match_exact_core(self):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_quad
+
+        value, locs, w = make_inputs(15)
+
+        def loss(core, v, l, a):
+            return jnp.sum(core(v, SHAPES, l, a) ** 2)
+
+        args = (jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        g_exact = jax.grad(lambda v, l, a: loss(ms_deform_attn_core, v, l, a), (0, 1, 2))(*args)
+        g_quad = jax.grad(lambda v, l, a: loss(ms_deform_attn_core_quad, v, l, a), (0, 1, 2))(*args)
+        for ge, gq in zip(g_exact, g_quad):
+            np.testing.assert_allclose(np.asarray(gq), np.asarray(ge), rtol=1e-4, atol=1e-5)

@@ -85,7 +85,11 @@ def main():
     logger.info(f"Command: {' '.join(sys.argv)}")
     logger.info(f"Config:\n{cfg.pretty()}")
 
-    from salience_detr_tpu.utils.env import collect_env_info, seed_everything
+    from salience_detr_tpu.utils.env import (
+        GracefulShutdown,
+        collect_env_info,
+        seed_everything,
+    )
 
     seed = seed_everything(seed)
     logger.info(f"Environment:\n{collect_env_info()}")
@@ -214,37 +218,51 @@ def main():
 
         rng = jax.random.PRNGKey(seed + 7)
         global_step = 0
-        for epoch in range(starting_epoch, cfg.num_epochs):
-            train_loader.set_epoch(epoch)
-            loader = DevicePrefetcher(train_loader, device_put)
-            if args.dry_run_steps:
-                import itertools
+        ckpt_metadata = {"class_names": names, "model_path": cfg.model_path,
+                         "seed": seed}
+        with GracefulShutdown(logger=logger) as stop:
+            for epoch in range(starting_epoch, cfg.num_epochs):
+                train_loader.set_epoch(epoch)
+                loader = DevicePrefetcher(train_loader, device_put)
+                if args.dry_run_steps:
+                    import itertools
 
-                loader = itertools.islice(iter(loader), args.dry_run_steps)
-            # fold the epoch into the key: each epoch draws a fresh noise
-            # stream (denoising groups, dropout), and resume at epoch E
-            # replays E's stream exactly regardless of how many epochs ran
-            # in the previous process
-            state, global_step = train_one_epoch(
-                train_step, state, loader, jax.random.fold_in(rng, epoch), epoch,
-                print_freq=cfg.get("print_freq", 50), logger=logger,
-                tracker=tracker.log, global_step=global_step,
-            )
-            ckpt.save(
-                epoch, jax.device_get(state),
-                metadata={"class_names": names, "model_path": cfg.model_path,
-                          "seed": seed},
-            )
+                    loader = itertools.islice(iter(loader), args.dry_run_steps)
+                # fold the epoch into the key: each epoch draws a fresh noise
+                # stream (denoising groups, dropout), and resume at epoch E
+                # replays E's stream exactly regardless of how many epochs ran
+                # in the previous process
+                state, global_step = train_one_epoch(
+                    train_step, state, loader, jax.random.fold_in(rng, epoch),
+                    epoch, print_freq=cfg.get("print_freq", 50), logger=logger,
+                    tracker=tracker.log, global_step=global_step,
+                    stop_requested=stop,
+                )
+                if stop.requested:
+                    # preemption: checkpoint the partial epoch and exit
+                    # cleanly; resume replays this epoch from its start with
+                    # the exact same per-epoch noise/shuffle streams
+                    ckpt.save(epoch, jax.device_get(state), force=True,
+                              metadata=ckpt_metadata)
+                    logger.warning(
+                        f"preemption checkpoint saved at epoch {epoch} "
+                        f"(step {int(state.step)}); exiting"
+                    )
+                    break
+                ckpt.save(
+                    epoch, jax.device_get(state), force=True,
+                    metadata=ckpt_metadata,
+                )
 
-            evaluator = CocoEvaluator(test_dataset.coco)
-            eval_loader = DevicePrefetcher(test_loader, device_put)
-            stats = evaluate(
-                eval_step, state, eval_loader, evaluator, logger=logger,
-                tracker=tracker.log, epoch=epoch,
-            )
-            best.update(jax.device_get(state), stats["AP"], stats["AP50"])
-            if args.dry_run_steps:
-                break
+                evaluator = CocoEvaluator(test_dataset.coco)
+                eval_loader = DevicePrefetcher(test_loader, device_put)
+                stats = evaluate(
+                    eval_step, state, eval_loader, evaluator, logger=logger,
+                    tracker=tracker.log, epoch=epoch,
+                )
+                best.update(jax.device_get(state), stats["AP"], stats["AP50"])
+                if args.dry_run_steps:
+                    break
     logger.info("Training done")
 
 
