@@ -87,6 +87,7 @@ class MultiScaleDeformableAttention(nn.Module):
         value: jnp.ndarray,  # (B, S, C)
         spatial_shapes: Sequence[Tuple[int, int]],
         key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True=pad
+        train: bool = False,
     ) -> jnp.ndarray:
         B, Q, _ = query.shape
         _, S, _ = value.shape
@@ -131,11 +132,20 @@ class MultiScaleDeformableAttention(nn.Module):
         )  # (B, Q, offset_heads, L, P, 2)
 
         if self.shared_locations:
+            # quad-packed backward scatter in training only (the custom-vjp
+            # wrapper costs eval ~3% for a backward-only win: +18% train step)
             out = ms_deform_attn_core_shared(
-                value, spatial_shapes, locations[:, :, 0], weights, H
+                value, spatial_shapes, locations[:, :, 0], weights, H,
+                quad_scatter=train,
             )
         else:
-            core = ms_deform_attn_core_quad if _EXACT_QUAD else ms_deform_attn_core
+            # quad fwd layout in eval only: its 4x-value quad buffers exhaust
+            # HBM under the training rematerialized backward at B=4
+            core = (
+                ms_deform_attn_core_quad
+                if (_EXACT_QUAD and not train)
+                else ms_deform_attn_core
+            )
             out = core(
                 value.reshape(B, S, H, head_dim), spatial_shapes, locations, weights
             )

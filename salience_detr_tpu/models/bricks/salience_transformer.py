@@ -117,6 +117,7 @@ class SalienceEncoderLayer(nn.Module):
         key_padding_mask,  # (B, S)
         score_tgt,  # (B, K, num_classes)
         foreground_pre_layer,  # (B, K)
+        train: bool = False,
     ):
         B, K, C = query.shape
         topk_sa = min(self.topk_sa, K)
@@ -138,7 +139,8 @@ class SalienceEncoderLayer(nn.Module):
         src2 = MultiScaleDeformableAttention(
             C, self.n_levels, self.n_heads, self.n_points,
             shared_locations=self.shared_locations, dtype=self.dtype, name="self_attn",
-        )(query + query_pos, reference_points, value, spatial_shapes, key_padding_mask)
+        )(query + query_pos, reference_points, value, spatial_shapes, key_padding_mask,
+          train=train)
         query = query + src2
         query = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(query)
 
@@ -177,6 +179,7 @@ class SalienceDecoderLayer(nn.Module):
         spatial_shapes,
         key_padding_mask,
         self_attn_mask=None,
+        train: bool = False,
     ):
         C = self.embed_dim
         qk = query + query_pos
@@ -189,7 +192,8 @@ class SalienceDecoderLayer(nn.Module):
         q2 = MultiScaleDeformableAttention(
             C, self.n_levels, self.n_heads, self.n_points,
             shared_locations=self.shared_locations, dtype=self.dtype, name="cross_attn",
-        )(query + query_pos, reference_points, value, spatial_shapes, key_padding_mask)
+        )(query + query_pos, reference_points, value, spatial_shapes, key_padding_mask,
+          train=train)
         query = query + q2
         query = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(query)
 
@@ -270,7 +274,7 @@ class SalienceTransformer(nn.Module):
         elif self.remat_policy == "dots":
             remat_kwargs["policy"] = jax.checkpoint_policies.checkpoint_dots
         enc_cls = (
-            nn.remat(SalienceEncoderLayer, static_argnums=(5,), **remat_kwargs)
+            nn.remat(SalienceEncoderLayer, static_argnums=(5, 9), **remat_kwargs)
             if self.remat_layers
             else SalienceEncoderLayer
         )
@@ -294,7 +298,7 @@ class SalienceTransformer(nn.Module):
         )
 
         dec_cls = (
-            nn.remat(SalienceDecoderLayer, static_argnums=(5,), **remat_kwargs)
+            nn.remat(SalienceDecoderLayer, static_argnums=(5, 8), **remat_kwargs)
             if self.remat_layers
             else SalienceDecoderLayer
         )
@@ -484,7 +488,7 @@ class SalienceTransformer(nn.Module):
                 score_tgt = self.encoder_class_head(query)  # shared enhance_mcsp (:79)
                 query = layer(
                     query, query_pos, enc_value, ref, spatial_shapes, mask_flatten,
-                    score_tgt, fg_pre,
+                    score_tgt, fg_pre, train,
                 )
                 # masked scatter back (:474-485): per-image focus prefix only
                 pos_rank = jnp.arange(inds.shape[1])[None, :]
@@ -548,13 +552,13 @@ class SalienceTransformer(nn.Module):
 
         outputs_classes, outputs_coords = self._decode(
             target, reference_points, memory, mask_flatten, spatial_shapes,
-            valid_ratios, attn_mask,
+            valid_ratios, attn_mask, train,
         )
         return outputs_classes, outputs_coords, enc_class, enc_coord, salience_score
 
     def _decode(
         self, query, reference_points, value, key_padding_mask, spatial_shapes,
-        valid_ratios, attn_mask,
+        valid_ratios, attn_mask, train=False,
     ):
         """Decoder with look-forward-twice (salience_transformer.py:626-674)."""
         outputs_classes, outputs_coords = [], []
@@ -568,7 +572,7 @@ class SalienceTransformer(nn.Module):
 
                 query = layer(
                     query, query_pos, ref_in, value, spatial_shapes,
-                    key_padding_mask, attn_mask,
+                    key_padding_mask, attn_mask, train,
                 )
 
                 normed = self.decoder_norm(query)

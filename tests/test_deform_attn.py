@@ -219,3 +219,76 @@ class TestQuadCore:
         g_quad = jax.grad(lambda v, l, a: loss(ms_deform_attn_core_quad, v, l, a), (0, 1, 2))(*args)
         for ge, gq in zip(g_exact, g_quad):
             np.testing.assert_allclose(np.asarray(gq), np.asarray(ge), rtol=1e-4, atol=1e-5)
+
+
+class TestQuadScatterGrad:
+    """The quad-packed backward scatter (MSDA_QUAD_SCATTER=1, the default)
+    must produce gradients identical to the plain autodiff backward
+    (MSDA_QUAD_SCATTER=0) for the head-shared core — value, sampling
+    locations, and attention weights alike."""
+
+    def _grads(self, quad, seed, shapes, B=2, Q=6, P=2, H=2, C=8,
+               loc_range=(-0.2, 1.2), special_locs=None):
+        import os
+
+        s = sum(h * w for h, w in shapes)
+        rng = np.random.default_rng(seed)
+        value = jnp.asarray(rng.normal(size=(B, s, C)).astype(np.float32))
+        locs_np = rng.uniform(
+            *loc_range, size=(B, Q, len(shapes), P, 2)
+        ).astype(np.float32)
+        if special_locs is not None:
+            for (b, q), v in special_locs.items():
+                locs_np[b, q] = v
+        locs = jnp.asarray(locs_np)
+        w = rng.uniform(size=(B, Q, H, len(shapes), P)).astype(np.float32)
+        attn = jnp.asarray(w / w.sum(axis=(-2, -1), keepdims=True))
+
+        assert os.environ.get("MSDA_QUAD_SCATTER", "1") == "1"
+
+        def loss(v, l, a):
+            out = ms_deform_attn_core_shared(v, shapes, l, a, H, quad_scatter=quad)
+            # non-uniform cotangent so corner structure matters
+            cot = jnp.arange(out.size, dtype=out.dtype).reshape(out.shape)
+            return jnp.vdot(out, jnp.sin(cot * 0.1)) + jnp.sum(out**2)
+
+        return jax.value_and_grad(loss, (0, 1, 2))(value, locs, attn)
+
+    def test_grads_match_autodiff(self):
+        va, ga = self._grads(False, 21, SHAPES)
+        vq, gq = self._grads(True, 21, SHAPES)
+        np.testing.assert_allclose(float(vq), float(va), rtol=1e-6)
+        for name, a, q in zip(("value", "locs", "attn"), ga, gq):
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(a), rtol=1e-5, atol=1e-6,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_grads_match_at_borders(self):
+        # straddle every border + far-outside points: the slot routing must
+        # send clipped-base contributions to the right pixels
+        special = {
+            (0, 0): -3.0, (0, 1): 3.0, (0, 2): 0.999, (0, 3): 0.001,
+            (1, 0): -0.01, (1, 1): 1.01,
+        }
+        va, ga = self._grads(False, 22, SHAPES, loc_range=(-0.6, 1.6),
+                             special_locs=special)
+        vq, gq = self._grads(True, 22, SHAPES, loc_range=(-0.6, 1.6),
+                             special_locs=special)
+        np.testing.assert_allclose(float(vq), float(va), rtol=1e-6)
+        for name, a, q in zip(("value", "locs", "attn"), ga, gq):
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(a), rtol=1e-5, atol=1e-6,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_grads_match_single_row_col_levels(self):
+        shapes = [(1, 5), (3, 1), (1, 1)]
+        va, ga = self._grads(False, 23, shapes)
+        vq, gq = self._grads(True, 23, shapes)
+        np.testing.assert_allclose(float(vq), float(va), rtol=1e-6)
+        for name, a, q in zip(("value", "locs", "attn"), ga, gq):
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(a), rtol=1e-5, atol=1e-6,
+                err_msg=f"grad mismatch for {name}",
+            )
