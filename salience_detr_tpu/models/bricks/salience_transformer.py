@@ -479,11 +479,20 @@ class SalienceTransformer(nn.Module):
             with jax.named_scope(f"encoder_layer_{layer_id}"):
                 inds = selected_inds[:, : layer_ks[layer_id]]  # (B, K_i)
                 last_inds = inds
-                query = jnp.take_along_axis(output, inds[..., None], axis=1)
-                query_pos = jnp.take_along_axis(lvl_pos, inds[..., None], axis=1)
-                fg_pre = jnp.take_along_axis(foreground_score, inds, axis=1)
+                # top_k indices are always in [0, S): promise_in_bounds skips
+                # the clamp+select pass the default fill mode adds per gather
+                query = jnp.take_along_axis(
+                    output, inds[..., None], axis=1, mode="promise_in_bounds"
+                )
+                query_pos = jnp.take_along_axis(
+                    lvl_pos, inds[..., None], axis=1, mode="promise_in_bounds"
+                )
+                fg_pre = jnp.take_along_axis(
+                    foreground_score, inds, axis=1, mode="promise_in_bounds"
+                )
                 ref = jnp.take_along_axis(
-                    enc_ref_points.reshape(B, S, -1), inds[..., None], axis=1
+                    enc_ref_points.reshape(B, S, -1), inds[..., None], axis=1,
+                    mode="promise_in_bounds",
                 ).reshape(B, -1, L, 2)
                 score_tgt = self.encoder_class_head(query)  # shared enhance_mcsp (:79)
                 query = layer(
@@ -493,9 +502,13 @@ class SalienceTransformer(nn.Module):
                 # masked scatter back (:474-485): per-image focus prefix only
                 pos_rank = jnp.arange(inds.shape[1])[None, :]
                 upd = pos_rank < focus_token_nums[:, None]
-                cur = jnp.take_along_axis(output, inds[..., None], axis=1)
+                cur = jnp.take_along_axis(
+                    output, inds[..., None], axis=1, mode="promise_in_bounds"
+                )
                 merged = jnp.where(upd[..., None], query, cur)
-                output = output.at[batch_ix, inds].set(merged)
+                output = output.at[batch_ix, inds].set(
+                    merged, mode="promise_in_bounds"
+                )
 
         # background embedding for non-foreground tokens (:487-495)
         with jax.named_scope("background_embed"):

@@ -29,6 +29,17 @@ from jax.ad_checkpoint import checkpoint_name
 # eval but can fence fusions
 _SKIP_CKPT_NAME = os.environ.get("MSDA_SKIP_CKPT_NAME", "0") == "1"
 
+# Corner/attention reduce formulation for the head-shared core.  "unrolled"
+# expresses both reduction stages as elementwise multiply-adds over slices
+# whose minor dim stays C, so XLA lowers them as loop fusions in the gather's
+# natural T(8,128) row layout.  "einsum" lowers them as dot_generals, whose
+# TPU layout assignment retiles the 1.5 GB/layer gathered buffer THREE times
+# (round-3 trace, encoder layer 0: reshape.476 4.95 ms T(8,128)->T(4,128) for
+# the corner dot, copy.3180 1.7 ms + copy.3178/9 0.9 ms re-laying the stage-1
+# output for the attention dot) — ~7.6 ms/layer of pure layout churn vs
+# ~4 ms of actual reduction math.
+_REDUCE_MODE = os.environ.get("MSDA_REDUCE", "unrolled")
+
 
 def ms_deform_attn_core(
     value: jnp.ndarray,
@@ -249,6 +260,43 @@ def compute_sampling_locations(
     )
 
 
+def _collapse_gathered(g, cw_c, attn_c, B, Qc, L, P, H, C):
+    """Collapse gathered corner rows (B*Qc*L*4*P, C) with bilinear corner
+    weights and per-head attention weights -> (B, Qc, C).
+
+    Two formulations selected by MSDA_REDUCE (see module top): the unrolled
+    elementwise form keeps C minor end to end (slices of the gathered buffer
+    are contiguous (P, C) / (C,) blocks), accumulates stage 1 in f32
+    registers, and writes no layout-retiled intermediates; the einsum form is
+    the previous dot_general lowering, kept for A/B measurement.
+    """
+    D = C // H
+    g = g.reshape(B, Qc, L, 4, P, C)
+    if _REDUCE_MODE == "unrolled":
+        cw5 = cw_c.reshape(B, Qc, L, 4, P)
+        sampled = None
+        for c in range(4):
+            term = g[:, :, :, c].astype(jnp.float32) * cw5[:, :, :, c][..., None]
+            sampled = term if sampled is None else sampled + term
+        sampled = sampled.astype(g.dtype).reshape(B, Qc, L, P, H, D)
+        out = None
+        for lvl in range(L):
+            for p in range(P):
+                a = attn_c[:, :, :, lvl, p].astype(jnp.float32)  # (B, Qc, H)
+                t = sampled[:, :, lvl, p].reshape(B, Qc, H, D).astype(jnp.float32)
+                t = t * a[..., None]
+                out = t if out is None else out + t
+        return out.reshape(B, Qc, C)
+    cw5 = cw_c.reshape(B, Qc, L, 4, P).astype(g.dtype)
+    sampled = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw5, g)
+    sampled = sampled.reshape(B, Qc, L, P, H, D)
+    out = jnp.einsum(
+        "bqhlp,bqlphd->bqhd", attn_c.astype(g.dtype), sampled,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Qc, C)
+
+
 def _make_quadgrad_reduce(spatial_shapes, B, H, C):
     """Custom-VJP gather+reduce for the head-shared core: forward identical to
     the plain two-stage reduce; backward scatters grad-of-value in a
@@ -279,15 +327,7 @@ def _make_quadgrad_reduce(spatial_shapes, B, H, C):
     D = C // H
 
     def _stage12(g, cw_c, attn_c, Qc, P):
-        g = g.reshape(B, Qc, L, 4, P, C)
-        cw5 = cw_c.reshape(B, Qc, L, 4, P).astype(g.dtype)
-        sampled = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw5, g)
-        sampled6 = sampled.reshape(B, Qc, L, P, H, D)
-        out = jnp.einsum(
-            "bqhlp,bqlphd->bqhd", attn_c.astype(g.dtype), sampled6,
-            preferred_element_type=jnp.float32,
-        )
-        return out.reshape(B, Qc, C)
+        return _collapse_gathered(g, cw_c, attn_c, B, Qc, L, P, H, C)
 
     def _primal(value_flat, idx_c, cw_c, attn_c):
         Qc, P = idx_c.shape[1], idx_c.shape[3]
@@ -467,25 +507,15 @@ def ms_deform_attn_core_shared(
         quad_reduce = _make_quadgrad_reduce(spatial_shapes, B, H, C)
 
     def reduce_chunk(idx_c, cw_c, attn_c):
-        """Two-stage reduce, measured 1.45x faster than the attention-folded
-        einsum on v5e (tools/bench_msda2.py shootout): stage 1 collapses the
-        4 bilinear corners with PER-ROW SCALAR weights, stage 2 applies the
-        per-head attention.  Gather width does not matter on this chip (512B
-        to 2KB rows time identically), so plain corner rows are gathered.
-
-        The whole reduce runs in the VALUE dtype (stage 2 accumulates f32):
-        XLA retiles the gathered rows to a corner-minor T(4,128) layout
-        before its reduce no matter what (round-3 trace: reshape.41xx), so
-        the one lever left is the WIDTH of that retile + reduce — bf16 end
-        to end measured 12.0 ms vs 19.4 ms for the f32-accumulated einsum on
-        the pre-gathered hot layer (tools/bench_msda5.py).  A Pallas
-        streaming collapse of the same rows was measured too (10.6 ms
-        standalone) but loses its edge once the bf16 einsum's smaller
-        stage-2 read is counted, and the corner-blocked orderings that
-        would help it cost the gather its pair locality (51-64 ms
-        end-to-end, bench_msda2 blk128/pl_blk).  Bilinear corner sums in
-        bf16 round at ~2^-8 relative — inside every quality tolerance used
-        here (the exact per-head path below stays f32)."""
+        """Two-stage reduce: stage 1 collapses the 4 bilinear corners with
+        per-row scalar weights, stage 2 applies the per-head attention (see
+        _collapse_gathered for the MSDA_REDUCE formulations and the layout
+        story; tools/bench_msda2.py / bench_msda5.py hold the earlier
+        einsum-variant shootouts).  Gather width does not matter on this chip
+        (512B to 2KB rows time identically), so plain corner rows are
+        gathered.  Stage-1 corner sums accumulate f32 in registers and round
+        once to the value dtype (~2^-8 relative in bf16 — inside every
+        quality tolerance used here; the exact per-head path stays f32)."""
         Qc = idx_c.shape[1]
         # indices are clamped in-bounds above; the default fill-mode take adds
         # a compare+select pass over the gathered gigabytes (seen as 12ms
@@ -495,15 +525,7 @@ def ms_deform_attn_core_shared(
             # named for the remat policy: the gathered rows (~1.5GB/layer) are
             # the one activation we always recompute instead of saving
             g = checkpoint_name(g, "msda_gather")
-        g = g.reshape(B, Qc, L, 4, P, C)
-        cw5 = cw_c.reshape(B, Qc, L, 4, P).astype(g.dtype)
-        sampled = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw5, g)  # value dtype
-        sampled = sampled.reshape(B, Qc, L, P, H, D)
-        out_c = jnp.einsum(
-            "bqhlp,bqlphd->bqhd", attn_c.astype(g.dtype), sampled,
-            preferred_element_type=jnp.float32,
-        )
-        return out_c.reshape(B, Qc, C)
+        return _collapse_gathered(g, cw_c, attn_c, B, Qc, L, P, H, C)
 
     def run_chunk(s0, s1):
         if quad_scatter:
