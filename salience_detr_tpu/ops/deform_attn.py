@@ -6,8 +6,10 @@ ms_deform_attn.py:159-212): per-level bilinear grid_sample with
 align_corners=False and zero padding, weighted-summed over levels x points.
 
 This module provides the XLA formulation (explicit corner gathers via
-take_along_axis — differentiable, fuses well, and is the correctness
-reference for the Pallas kernel in ops/pallas_deform_attn.py).
+take_along_axis — differentiable, fuses well).  Pallas kernel variants were
+built, measured on-chip, and rejected with data (see tools/bench_msda2.py and
+ROADMAP.md): XLA's native gather already sits at the chip's issue/bandwidth
+floor for this access pattern.
 
 Layout: channel-last / head-separated, value is (B, S, H, D) with S the total
 flattened multi-level token count.  Spatial shapes are STATIC python tuples —
@@ -351,19 +353,55 @@ def _make_quadgrad_reduce(spatial_shapes, B, H, C):
         g6 = g.reshape(B, Qc, L, 4, P, C)
         gdt = g6.dtype
         cw5 = cw_c.reshape(B, Qc, L, 4, P).astype(gdt)
-        sampled6 = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw5, g6).reshape(
-            B, Qc, L, P, H, D
-        )
         d_out6 = d_out.reshape(B, Qc, H, D).astype(gdt)
-        d_attn = jnp.einsum("bqhd,bqlphd->bqhlp", d_out6, sampled6)
-        d_sampled = jnp.einsum(
-            "bqhd,bqhlp->bqlphd", d_out6, attn_c.astype(gdt)
-        ).reshape(B, Qc, L, P, C)
-        d_cw = (
-            jnp.einsum("bqlpe,bqlcpe->bqlcp", d_sampled, g6)
-            .reshape(cw_c.shape)
-            .astype(cw_c.dtype)
-        )
+        if _REDUCE_MODE == "unrolled":
+            # Same layout story as the forward (_collapse_gathered): express
+            # every contraction that touches the gathered gigabytes as
+            # elementwise multiply-adds / minor-dim row reductions so the
+            # buffer is consumed in its natural T(8,128) gather layout —
+            # the dot_general forms below retile it first (measured as
+            # pure layout-churn copies in the round-3 trace).
+            sampled6 = None
+            for c in range(4):
+                term = g6[:, :, :, c].astype(jnp.float32) * cw5[
+                    :, :, :, c
+                ].astype(jnp.float32)[..., None]
+                sampled6 = term if sampled6 is None else sampled6 + term
+            sampled6 = sampled6.astype(gdt).reshape(B, Qc, L, P, H, D)
+            # d_attn[b,q,h,l,p] = sum_d d_out6[b,q,h,d] * sampled6[b,q,l,p,h,d]
+            d_attn = jnp.sum(
+                sampled6 * d_out6[:, :, None, None],
+                axis=-1,
+                dtype=jnp.float32,
+            ).transpose(0, 1, 4, 2, 3)
+            # d_sampled[b,q,l,p,(h d)] = d_out6[b,q,h,d] * attn[b,q,h,l,p]
+            d_sampled = (
+                d_out6[:, :, None, None]
+                * attn_c.astype(gdt).transpose(0, 1, 3, 4, 2)[..., None]
+            ).reshape(B, Qc, L, P, C)
+            d_cw_parts = []
+            for c in range(4):
+                d_cw_parts.append(
+                    jnp.sum(
+                        d_sampled * g6[:, :, :, c], axis=-1, dtype=jnp.float32
+                    )
+                )
+            d_cw = (
+                jnp.stack(d_cw_parts, axis=3).reshape(cw_c.shape).astype(cw_c.dtype)
+            )
+        else:
+            sampled6 = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw5, g6).reshape(
+                B, Qc, L, P, H, D
+            )
+            d_attn = jnp.einsum("bqhd,bqlphd->bqhlp", d_out6, sampled6)
+            d_sampled = jnp.einsum(
+                "bqhd,bqhlp->bqlphd", d_out6, attn_c.astype(gdt)
+            ).reshape(B, Qc, L, P, C)
+            d_cw = (
+                jnp.einsum("bqlpe,bqlcpe->bqlcp", d_sampled, g6)
+                .reshape(cw_c.shape)
+                .astype(cw_c.dtype)
+            )
 
         slotw5 = slotw_c.reshape(B, Qc, L, 4, P).astype(gdt)
         segs = []

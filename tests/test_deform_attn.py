@@ -292,3 +292,20 @@ class TestQuadScatterGrad:
                 np.asarray(q), np.asarray(a), rtol=1e-5, atol=1e-6,
                 err_msg=f"grad mismatch for {name}",
             )
+
+    def test_grads_match_both_reduce_modes(self, monkeypatch):
+        # the MSDA_REDUCE knob selects between the unrolled (default) and
+        # einsum formulations of BOTH the forward reduce and the custom-VJP
+        # backward; each must match the autodiff backward under the same mode
+        import salience_detr_tpu.ops.deform_attn as da
+
+        for mode in ("unrolled", "einsum"):
+            monkeypatch.setattr(da, "_REDUCE_MODE", mode)
+            va, ga = self._grads(False, 24, SHAPES)
+            vq, gq = self._grads(True, 24, SHAPES)
+            np.testing.assert_allclose(float(vq), float(va), rtol=1e-6)
+            for name, a, q in zip(("value", "locs", "attn"), ga, gq):
+                np.testing.assert_allclose(
+                    np.asarray(q), np.asarray(a), rtol=1e-5, atol=1e-6,
+                    err_msg=f"grad mismatch for {name} under MSDA_REDUCE={mode}",
+                )
