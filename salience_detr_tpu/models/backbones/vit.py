@@ -20,12 +20,16 @@ import jax.numpy as jnp
 import numpy as np
 
 ARCH_SETTINGS: Dict[str, Dict] = {
+    # pos_grid = the PRETRAINED learned pos-embed grid side (224/patch for
+    # every reference registry arch, vit.py:384-394) so converted torchvision
+    # checkpoints (/root/reference/models/backbones/vit.py:747-789) load
+    # shape-exact; the table is bilinear-resized to the actual token grid.
     "vit_b": dict(embed_dim=768, depth=12, num_heads=12, window=14,
-                  global_idx=(2, 5, 8, 11)),
+                  global_idx=(2, 5, 8, 11), pos_grid=14),
     "vit_l": dict(embed_dim=1024, depth=24, num_heads=16, window=14,
-                  global_idx=(5, 11, 17, 23)),
+                  global_idx=(5, 11, 17, 23), pos_grid=14),
     "vit_h": dict(embed_dim=1280, depth=32, num_heads=16, window=14,
-                  global_idx=(7, 15, 23, 31)),
+                  global_idx=(7, 15, 23, 31), patch=14, pos_grid=16),
     # EVA-02 (reference vit.py:811-875): rope + SwiGLU; `window_idx` lists the
     # WINDOWED blocks (the registry's window_block_indexes), the rest global
     "eva_02_vit_b_4attn_1024": dict(
@@ -238,9 +242,13 @@ class VisionTransformerBackbone(nn.Module):
         cfg = ARCH_SETTINGS[self.arch]
         C = cfg["embed_dim"]
 
-        x = nn.Conv(C, (16, 16), strides=(16, 16), dtype=self.dtype, name="patch_embed")(x)
+        patch = cfg.get("patch", 16)
+        x = nn.Conv(
+            C, (patch, patch), strides=(patch, patch), dtype=self.dtype,
+            name="patch_embed",
+        )(x)
         B, H, W, _ = x.shape
-        pos_size = 14 if cfg.get("rope") else self.img_pos_size  # EVA: 224/16
+        pos_size = cfg.get("pos_grid", self.img_pos_size)
         pos = self.param(
             "pos_embed", nn.initializers.truncated_normal(0.02),
             (pos_size, pos_size, C),
@@ -275,21 +283,45 @@ class VisionTransformerBackbone(nn.Module):
                 x = ViTBlock(C, cfg["num_heads"], ws, dtype=self.dtype, name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
 
-        # SimpleFeaturePyramid: stride 16 base map -> 8/16/32/64
+        # SimpleFeaturePyramid (reference vit.py:686-744): stride 16 base map
+        # -> strides 4/8/16/32, optional stride-64 extra maxpool (index 4)
         outputs = {}
         feats = {}
-        feats[1] = nn.ConvTranspose(
-            C // 2, (2, 2), strides=(2, 2), dtype=self.dtype, name="up2"
-        )(x)  # stride 8
+        if 0 in self.return_indices:  # scale 4.0: 2x deconv + LN + GELU + 2x deconv
+            f = nn.ConvTranspose(
+                C // 2, (2, 2), strides=(2, 2), dtype=self.dtype, name="up4_deconv1"
+            )(x)
+            f = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="up4_norm")(f)
+            f = jax.nn.gelu(f, approximate=False)
+            feats[0] = nn.ConvTranspose(
+                C // 4, (2, 2), strides=(2, 2), dtype=self.dtype, name="up4_deconv2"
+            )(f)  # stride 4
+        if 1 in self.return_indices:
+            feats[1] = nn.ConvTranspose(
+                C // 2, (2, 2), strides=(2, 2), dtype=self.dtype, name="up2"
+            )(x)  # stride 8
         feats[2] = x  # stride 16
         feats[3] = nn.max_pool(x, (2, 2), strides=(2, 2))  # stride 32
-        for idx in self.return_indices:
+        for idx in sorted(self.return_indices):
+            if idx == 4:
+                # extra_block: stride-2 maxpool of the previous stage's OUTPUT
+                # (reference vit.py:738-741, kernel 1)
+                outputs[idx] = nn.max_pool(
+                    outputs[max(i for i in self.return_indices if i < 4)],
+                    (1, 1), strides=(2, 2),
+                )
+                continue
             f = feats[idx]
+            # Conv2dNormActivation pairs (conv no-bias -> LN -> ReLU, the
+            # torchvision default activation the reference inherits,
+            # models/bricks/misc.py:112-160)
             f = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
                         name=f"lateral{idx}")(f)
             f = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"lateral_norm{idx}")(f)
+            f = jax.nn.relu(f)
             f = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype, name=f"out{idx}")(f)
             f = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"out_norm{idx}")(f)
+            f = jax.nn.relu(f)
             outputs[idx] = f
         return outputs

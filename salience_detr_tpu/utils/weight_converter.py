@@ -247,6 +247,91 @@ def _focalnet_rules(
     return rules
 
 
+def _vit_rules(
+    arch: str,
+    return_indices: Tuple[int, ...] = (1, 2, 3),
+    prefix: str = "backbone.0",
+) -> List[Tuple[str, str, str]]:
+    """ViT / EVA-02 (/root/reference/models/backbones/vit.py; wrapped as
+    nn.Sequential(VisionTransformerNoHead, SimpleFeaturePyramid) ->
+    'backbone.{0,1}.' prefixes, vit.py:904).  Encoder blocks at
+    encoder.layers.encoder_layer_{i} (vit.py:416-433): torchvision blocks use
+    merged-in_proj nn.MultiheadAttention + MLPBlock (mlp.{0,3}); EVA-02 blocks
+    use separate q/k/v with standalone q/v biases (vit.py:168-177) and SwiGLU
+    mlp.{w1,w2,ffn_ln,w3} (vit.py:117-146).  The class token and heads are
+    intentionally unmapped (this backbone keeps spatial tokens only).  FPN
+    stage_{idx+2} per return index (vit.py:719-721: stage = 4 - log2(scale),
+    scale = 2**(2-idx)); index 4 is the param-free extra maxpool."""
+    from salience_detr_tpu.models.backbones.vit import ARCH_SETTINGS
+
+    cfg = ARCH_SETTINGS[arch]
+    rope = bool(cfg.get("rope"))
+    rules = []
+    rules += _conv(f"{prefix}.conv_proj", "backbone/patch_embed")
+    rules += [(f"{prefix}.conv_proj.bias", "params/backbone/patch_embed/bias", "copy")]
+    rules += [(f"{prefix}.encoder.pos_embedding", "params/backbone/pos_embed", "vit_pos")]
+    for i in range(cfg["depth"]):
+        src = f"{prefix}.encoder.layers.encoder_layer_{i}"
+        dst = f"backbone/block{i}"
+        attn = f"{src}.self_attention"
+        if rope:
+            rules += _ln(f"{src}.ln_1", f"{dst}/ln_1")
+            rules += _linear(f"{attn}.q_proj", f"{dst}/q_proj", bias=False)
+            rules += [(f"{attn}.q_bias", f"params/{dst}/q_proj/bias", "copy")]
+            rules += _linear(f"{attn}.k_proj", f"{dst}/k_proj", bias=False)
+            rules += _linear(f"{attn}.v_proj", f"{dst}/v_proj", bias=False)
+            rules += [(f"{attn}.v_bias", f"params/{dst}/v_proj/bias", "copy")]
+            rules += _linear(f"{attn}.proj", f"{dst}/proj")
+            rules += _ln(f"{src}.ln_2", f"{dst}/ln_2")
+            rules += _linear(f"{src}.mlp.w1", f"{dst}/w1")
+            rules += _linear(f"{src}.mlp.w2", f"{dst}/w2")
+            rules += _ln(f"{src}.mlp.ffn_ln", f"{dst}/ffn_ln")
+            rules += _linear(f"{src}.mlp.w3", f"{dst}/w3")
+        else:
+            rules += _ln(f"{src}.ln_1", f"{dst}/norm1")
+            # merged in_proj (3C, C) -> fused qkv Dense kernel (C, 3C): the
+            # plain linear transpose preserves the q|k|v row blocks as column
+            # blocks, matching the jnp.split(qkv, 3, -1) consumer
+            rules += [
+                (f"{attn}.in_proj_weight", f"params/{dst}/qkv/kernel", "linear"),
+                (f"{attn}.in_proj_bias", f"params/{dst}/qkv/bias", "copy"),
+            ]
+            rules += _linear(f"{attn}.out_proj", f"{dst}/proj")
+            rules += _ln(f"{src}.ln_2", f"{dst}/norm2")
+            rules += _linear(f"{src}.mlp.0", f"{dst}/mlp_fc1")
+            rules += _linear(f"{src}.mlp.3", f"{dst}/mlp_fc2")
+    rules += _ln(f"{prefix}.encoder.ln", "backbone/norm")
+
+    fpn = prefix.rsplit(".", 1)[0] + ".1" if "." in prefix else "backbone.1"
+    for idx in return_indices:
+        if idx == 4:
+            continue  # extra maxpool, no params
+        stage = f"{fpn}.stage_{idx + 2}"
+        if idx == 0:
+            for j, name in ((0, "up4_deconv1"), (3, "up4_deconv2")):
+                rules += [
+                    (f"{stage}.{j}.weight", f"params/backbone/{name}/kernel", "deconv"),
+                    (f"{stage}.{j}.bias", f"params/backbone/{name}/bias", "copy"),
+                ]
+            rules += _ln(f"{stage}.1", "backbone/up4_norm")
+            cna0 = 4
+        elif idx == 1:
+            rules += [
+                (f"{stage}.0.weight", "params/backbone/up2/kernel", "deconv"),
+                (f"{stage}.0.bias", "params/backbone/up2/bias", "copy"),
+            ]
+            cna0 = 1
+        elif idx == 2:
+            cna0 = 0
+        else:  # idx == 3: maxpool at 0
+            cna0 = 1
+        rules += _conv(f"{stage}.{cna0}.0", f"backbone/lateral{idx}")
+        rules += _ln(f"{stage}.{cna0}.1", f"backbone/lateral_norm{idx}")
+        rules += _conv(f"{stage}.{cna0 + 1}.0", f"backbone/out{idx}")
+        rules += _ln(f"{stage}.{cna0 + 1}.1", f"backbone/out_norm{idx}")
+    return rules
+
+
 def _conv_bn_act(src: str, dst: str):
     """repnet ConvBNAct: sequential 0=conv, 1=bn."""
     return _conv(f"{src}.0", f"{dst}/conv") + _bn(f"{src}.1", f"{dst}/bn")
@@ -396,6 +481,8 @@ def backbone_rules(
         from salience_detr_tpu.models.backbones.swin import ARCH_SETTINGS
         cfg = ARCH_SETTINGS[backbone]
         return _swin_rules(cfg["depths"], v2=bool(cfg.get("v2", False)))
+    if backbone.startswith(("vit", "eva")):
+        return _vit_rules(backbone)
     if backbone.startswith("focalnet"):
         from salience_detr_tpu.models.backbones.focalnet import ARCH_SETTINGS
         cfg = ARCH_SETTINGS[backbone]
@@ -432,6 +519,20 @@ def _apply_transform(value: np.ndarray, kind: str) -> np.ndarray:
         return np.transpose(value, (2, 3, 1, 0))
     if kind == "linear":
         return np.transpose(value, (1, 0))
+    if kind == "deconv":
+        # torch ConvTranspose2d (in, out, kH, kW) -> flax (kH, kW, in, out)
+        return np.transpose(value, (2, 3, 0, 1))
+    if kind == "vit_pos":
+        # (1, S, C) learned pos table with a leading class-token slot when
+        # S = g*g + 1 (reference vit.py:384-394) -> (g, g, C) spatial grid
+        v = np.asarray(value)[0]
+        s = v.shape[0]
+        g = int(np.sqrt(s))
+        if g * g != s:
+            g = int(np.sqrt(s - 1))
+            assert g * g == s - 1, f"pos table length {s} is not g^2(+1)"
+            v = v[1:]
+        return v.reshape(g, g, v.shape[-1])
     if kind == "dcn_kernel":
         # torch DeformConv2d weight OIHW (F, Cin, K, K) -> (K*K, Cin, F)
         f, cin, kh, kw = value.shape

@@ -67,6 +67,49 @@ def test_r50_dispatch_matches_legacy():
     assert salience_detr_rules("resnet50") == salience_detr_r50_rules()
 
 
+@pytest.mark.parametrize(
+    "arch,return_indices",
+    [
+        ("vit_b", (1, 2, 3)),
+        ("vit_b", (0, 1, 2, 3)),
+        ("eva_02_vit_b_4attn_1024", (1, 2, 3)),
+        ("eva_02_vit_l_8attn_1536", (1, 2, 3, 4)),
+    ],
+)
+def test_vit_backbone_rules_cover_backbone_tree(arch, return_indices):
+    """ViT/EVA-02 families (reference vit.py:747-875): rule dsts must cover
+    the full backbone tree exactly, incl. the scale-4 deconv stage (index 0)
+    and the param-free extra maxpool (index 4)."""
+    from salience_detr_tpu.models.backbones.vit import VisionTransformerBackbone
+    from salience_detr_tpu.utils.weight_converter import _vit_rules
+
+    bb = VisionTransformerBackbone(arch=arch, return_indices=return_indices)
+    shapes = jax.eval_shape(
+        lambda: bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    )
+    flat = flatten_variables(
+        jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
+    )
+    tree_paths = {k.replace("params/", "params/backbone/") for k in flat}
+    dsts = {dst for _, dst, _ in _vit_rules(arch, return_indices)}
+    assert tree_paths == dsts, (
+        sorted(tree_paths - dsts)[:10], sorted(dsts - tree_paths)[:10]
+    )
+
+
+def test_vit_pos_transform_strips_class_token():
+    from salience_detr_tpu.utils.weight_converter import _apply_transform
+
+    table = np.arange(1 * (7 * 7 + 1) * 4, dtype=np.float32).reshape(1, 50, 4)
+    out = _apply_transform(table, "vit_pos")
+    assert out.shape == (7, 7, 4)
+    np.testing.assert_array_equal(out[0, 0], table[0, 1])
+    # square table without a class slot passes through
+    out2 = _apply_transform(table[:, 1:], "vit_pos")
+    assert out2.shape == (7, 7, 4)
+    np.testing.assert_array_equal(out2[0, 0], table[0, 1])
+
+
 def test_resnext_backbone_rules_cover_backbone_tree():
     """Grouped-conv archs: rule dsts must cover the backbone subtree exactly
     (torchvision resnext param names differ from resnet50 only in shapes)."""
