@@ -139,13 +139,10 @@ class MultiScaleDeformableAttention(nn.Module):
                 quad_scatter=train,
             )
         else:
-            # quad fwd layout in eval only: its 4x-value quad buffers exhaust
-            # HBM under the training rematerialized backward at B=4
-            core = (
-                ms_deform_attn_core_quad
-                if (_EXACT_QUAD and not train)
-                else ms_deform_attn_core
-            )
+            # quad fwd layout in train AND eval: the r3 train-OOM (all
+            # levels' (B,H,Q*P,4D) gathers + scatter targets live at once in
+            # the backward) is fixed by query-chunking inside the quad core
+            core = ms_deform_attn_core_quad if _EXACT_QUAD else ms_deform_attn_core
             out = core(
                 value.reshape(B, S, H, head_dim), spatial_shapes, locations, weights
             )

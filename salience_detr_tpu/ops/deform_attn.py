@@ -31,16 +31,33 @@ from jax.ad_checkpoint import checkpoint_name
 # eval but can fence fusions
 _SKIP_CKPT_NAME = os.environ.get("MSDA_SKIP_CKPT_NAME", "0") == "1"
 
-# Corner/attention reduce formulation for the head-shared core.  "unrolled"
-# expresses both reduction stages as elementwise multiply-adds over slices
-# whose minor dim stays C, so XLA lowers them as loop fusions in the gather's
-# natural T(8,128) row layout.  "einsum" lowers them as dot_generals, whose
-# TPU layout assignment retiles the 1.5 GB/layer gathered buffer THREE times
-# (round-3 trace, encoder layer 0: reshape.476 4.95 ms T(8,128)->T(4,128) for
-# the corner dot, copy.3180 1.7 ms + copy.3178/9 0.9 ms re-laying the stage-1
-# output for the attention dot) — ~7.6 ms/layer of pure layout churn vs
-# ~4 ms of actual reduction math.
-_REDUCE_MODE = os.environ.get("MSDA_REDUCE", "unrolled")
+# Corner/attention reduce formulation for the head-shared core.  "einsum"
+# (the default) lowers both reduction stages as value-dtype dot_generals with
+# f32 accumulation.  "unrolled" expresses them as elementwise multiply-adds —
+# it was briefly the default at the end of round 3 on the theory that it
+# avoids dot_general layout retiles, but the driver A/B settled it: the
+# unrolled form's per-slice f32 upcasts double the traffic over the gathered
+# gigabytes and REGRESSED the measured bench (20.7 vs 30.4 img/s inference,
+# 5.1 vs 6.3 img/s train — BENCH_r03.json vs the 2026-08-19 einsum re-run
+# under identical driver conditions).  Kept only as an A/B knob.
+_REDUCE_MODE = os.environ.get("MSDA_REDUCE", "einsum")
+
+# HBM budget for the materialized gathered corner rows per query chunk.
+# 1.5 GB is the known-good batch-4 hot-layer working set (ROADMAP r3): the
+# largest that never OOMed alongside the rest of the program's live set
+# (batch-8 inference OOMed unchunked; exact-quad train OOMed unchunked).
+_GATHER_BUDGET_BYTES = float(os.environ.get("MSDA_GATHER_BUDGET_BYTES", 1.5e9))
+
+
+def derive_q_chunk(B: int, Q: int, L: int, P: int, C: int, itemsize: int) -> int:
+    """Largest per-batch query-chunk size whose gathered corner buffer
+    (B * Qc rows of L*4*P corner items, C channels each, ``itemsize`` bytes)
+    stays within _GATHER_BUDGET_BYTES.  Shared and quad-packed cores gather
+    the same total bytes per query (quad packs the 4 corners of each of the
+    L*P points into one 4*C-wide row), so one formula serves both."""
+    per_q_bytes = L * 4 * P * C * itemsize
+    max_bq = max(int(_GATHER_BUDGET_BYTES // per_q_bytes), 1)
+    return max(min(Q, max_bq // max(B, 1)), 1)
 
 
 def ms_deform_attn_core(
@@ -161,7 +178,15 @@ def ms_deform_attn_core_quad(
     compute_dtype = value.dtype
     value_bh = jnp.swapaxes(value, 1, 2)  # (B, H, S, D)
 
-    out = jnp.zeros((B, H, Q, D), dtype=jnp.float32)
+    # Per-level quad-packed value buffers and chunk-invariant addressing.
+    # The quads are query-independent (XLA hoists them out of the chunk
+    # loop); the gathered rows are what must be chunked — unchunked, the
+    # train-mode backward materialized every level's (B, H, Q*P, 4D) gather
+    # + its scatter-add target simultaneously and exhausted HBM at B=4
+    # (ROADMAP r3); chunking bounds the live set exactly like the shared core.
+    quads = []  # (B*H*h*w, 4D) per level
+    idx_levels = []  # (B, H, Q, P) flat row index incl. batch/head base
+    slotw_levels = []  # (B, H, Q, P, 4) f32
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         seg = jax.lax.slice_in_dim(value_bh, start, start + h * w, axis=2)
@@ -174,7 +199,7 @@ def ms_deform_attn_core_quad(
             ],
             axis=-1,
         )  # (B, H, h*w, 4D)
-        quad_flat = quad.reshape(B * H * h * w, 4 * D)
+        quads.append(quad.reshape(B * H * h * w, 4 * D))
 
         loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # (B, Q, H, P, 2)
         x = loc[..., 0] * w - 0.5
@@ -202,26 +227,48 @@ def ms_deform_attn_core_quad(
                 wx = jnp.where(px < w, wx, 0.0)
                 slot_ws.append(wx * wy)
         slot_w = jnp.stack(slot_ws, axis=-1)  # (B, Q, H, P, 4)
+        slotw_levels.append(jnp.transpose(slot_w, (0, 2, 1, 3, 4)))
 
         base = (
-            jnp.arange(B, dtype=jnp.int32)[:, None, None] * H
-            + jnp.arange(H, dtype=jnp.int32)[None, :, None]
-        ) * (h * w)  # (B, H, 1)
+            jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * H
+            + jnp.arange(H, dtype=jnp.int32)[None, :, None, None]
+        ) * (h * w)  # (B, H, 1, 1)
         idx = by * w + bx  # (B, Q, H, P)
-        idx_bh = jnp.transpose(idx, (0, 2, 1, 3)).reshape(B, H, Q * P)
-        g = quad_flat.at[(idx_bh + base).reshape(-1)].get(mode="promise_in_bounds")
-        if not _SKIP_CKPT_NAME:
-            g = checkpoint_name(g, "msda_gather")
-        # f32 reduce exactly like ms_deform_attn_core (parity mode keeps the
-        # reference's fp32-island semantics; the gather issues dominate here)
-        g = g.reshape(B, H, Q, P, 4, D).astype(jnp.float32)
-        sw_bh = jnp.transpose(slot_w, (0, 2, 1, 3, 4))  # (B, H, Q, P, 4) f32
-        sampled = jnp.einsum("bhqpc,bhqpcd->bhqpd", sw_bh, g)
-        w_bh = jnp.transpose(
-            attention_weights[:, :, :, lvl].astype(jnp.float32), (0, 2, 1, 3)
-        )  # (B, H, Q, P)
-        out = out + jnp.einsum("bhqp,bhqpd->bhqd", w_bh, sampled)
+        idx_levels.append(jnp.transpose(idx, (0, 2, 1, 3)) + base)  # (B, H, Q, P)
         start += h * w
+
+    attn_bh = jnp.transpose(
+        attention_weights.astype(jnp.float32), (0, 2, 1, 3, 4)
+    )  # (B, H, Q, L, P)
+
+    def run_chunk(s0, s1):
+        qc = s1 - s0
+        out_c = jnp.zeros((B, H, qc, D), dtype=jnp.float32)
+        for lvl in range(L):
+            g = quads[lvl].at[
+                idx_levels[lvl][:, :, s0:s1].reshape(-1)
+            ].get(mode="promise_in_bounds")
+            if not _SKIP_CKPT_NAME:
+                g = checkpoint_name(g, "msda_gather")
+            # f32 reduce exactly like ms_deform_attn_core (parity mode keeps
+            # the reference's fp32-island semantics; gather issues dominate)
+            g = g.reshape(B, H, qc, P, 4, D).astype(jnp.float32)
+            sampled = jnp.einsum(
+                "bhqpc,bhqpcd->bhqpd", slotw_levels[lvl][:, :, s0:s1], g
+            )
+            out_c = out_c + jnp.einsum(
+                "bhqp,bhqpd->bhqd", attn_bh[:, :, s0:s1, lvl], sampled
+            )
+        return out_c
+
+    q_chunk = derive_q_chunk(B, Q, L, P, H * D, jnp.dtype(compute_dtype).itemsize)
+    if Q <= q_chunk:
+        out = run_chunk(0, Q)
+    else:
+        out = jnp.concatenate(
+            [run_chunk(s0, min(s0 + q_chunk, Q)) for s0 in range(0, Q, q_chunk)],
+            axis=2,
+        )
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, Q, H * D)
     return out.astype(compute_dtype)
@@ -576,11 +623,10 @@ def ms_deform_attn_core_shared(
         )
 
     # chunk over queries so the materialized corner rows stay bounded
-    # (g is B*Qc * L*4*P rows of C: 32 KB per (b, q) at C=256): batch-8
-    # inference OOMed HBM unchunked; cap peak at ~1.5 GB (the known-good
-    # batch-4 hot-layer working set)
-    max_bq = 4 * 11403
-    q_chunk = max(min(Q, max_bq // max(B, 1)), 1)
+    # (g is B*Qc * L*4*P rows of C: 32 KB per (b, q) at C=256, bf16): batch-8
+    # inference OOMed HBM unchunked; the chunk size is derived from the
+    # _GATHER_BUDGET_BYTES HBM budget and the actual (L, P, C, dtype)
+    q_chunk = derive_q_chunk(B, Q, L, P, C, jnp.dtype(compute_dtype).itemsize)
     if Q <= q_chunk:
         out = run_chunk(0, Q)
     else:

@@ -294,8 +294,9 @@ class TestQuadScatterGrad:
             )
 
     def test_grads_match_both_reduce_modes(self, monkeypatch):
-        # the MSDA_REDUCE knob selects between the unrolled (default) and
-        # einsum formulations of BOTH the forward reduce and the custom-VJP
+        # the MSDA_REDUCE knob selects between the einsum (default; the
+        # unrolled form regressed the driver bench — see deform_attn.py) and
+        # unrolled formulations of BOTH the forward reduce and the custom-VJP
         # backward; each must match the autodiff backward under the same mode
         import salience_detr_tpu.ops.deform_attn as da
 
@@ -309,3 +310,102 @@ class TestQuadScatterGrad:
                     np.asarray(q), np.asarray(a), rtol=1e-5, atol=1e-6,
                     err_msg=f"grad mismatch for {name} under MSDA_REDUCE={mode}",
                 )
+
+
+class TestDerivedChunking:
+    """The MSDA query-chunk size is derived from shapes + an HBM budget
+    (replacing the round-3 magic constant max_bq = 4 * 11403 that silently
+    mis-sized any non-flagship canvas/embed-dim)."""
+
+    def test_budget_bound_across_combos(self):
+        from salience_detr_tpu.ops.deform_attn import (
+            _GATHER_BUDGET_BYTES,
+            derive_q_chunk,
+        )
+
+        combos = [
+            # (B, Q, L, P, C, itemsize): flagship + 5-scale + small/odd shapes
+            (4, 22400, 4, 4, 256, 2),
+            (8, 22400, 4, 4, 256, 2),
+            (1, 91000, 5, 4, 256, 2),
+            (2, 7, 3, 2, 8, 4),
+            (16, 300, 4, 4, 512, 4),
+            (1, 1, 4, 4, 256, 2),
+        ]
+        for B, Q, L, P, C, it in combos:
+            qc = derive_q_chunk(B, Q, L, P, C, it)
+            assert 1 <= qc <= Q
+            buf = B * qc * L * 4 * P * C * it
+            if qc > 1:
+                assert buf <= _GATHER_BUDGET_BYTES, (B, Q, L, P, C, it, buf)
+            if qc < Q:
+                # maximal: one more query per batch row would bust the budget
+                assert B * (qc + 1) * L * 4 * P * C * it > _GATHER_BUDGET_BYTES
+
+    def test_flagship_point_matches_known_good(self):
+        from salience_detr_tpu.ops.deform_attn import derive_q_chunk
+
+        # B=4, 800x1344 canvas, L=4/P=4/C=256 bf16: the derived chunk must be
+        # within 1% of the round-3 measured-good 11403 (same compiled shape
+        # class, no OOM, no extra serialization)
+        qc = derive_q_chunk(4, 22400, 4, 4, 256, 2)
+        assert abs(qc - 11403) / 11403 < 0.01, qc
+
+    def test_quad_core_chunked_matches_unchunked(self, monkeypatch):
+        import salience_detr_tpu.ops.deform_attn as da
+
+        value, locs, w = make_inputs(31)
+        args = (jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+        want = np.asarray(da.ms_deform_attn_core_quad(args[0], SHAPES, args[1], args[2]))
+        # budget for ~3 queries per chunk at these shapes
+        B, Q, L, P = 2, 7, len(SHAPES), 3
+        C, it = 8, 4
+        monkeypatch.setattr(da, "_GATHER_BUDGET_BYTES", float(B * 3 * L * 4 * P * C * it))
+        assert da.derive_q_chunk(B, Q, L, P, C, it) == 3
+        got = np.asarray(da.ms_deform_attn_core_quad(args[0], SHAPES, args[1], args[2]))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_quad_core_chunked_grads_match_exact(self, monkeypatch):
+        import salience_detr_tpu.ops.deform_attn as da
+
+        value, locs, w = make_inputs(32)
+        args = (jnp.asarray(value), jnp.asarray(locs), jnp.asarray(w))
+
+        def loss(core, v, l, a):
+            return jnp.sum(core(v, SHAPES, l, a) ** 2)
+
+        g_exact = jax.grad(
+            lambda v, l, a: loss(ms_deform_attn_core, v, l, a), (0, 1, 2)
+        )(*args)
+        B, L, P, C, it = 2, len(SHAPES), 3, 8, 4
+        monkeypatch.setattr(da, "_GATHER_BUDGET_BYTES", float(B * 2 * L * 4 * P * C * it))
+        g_quad = jax.grad(
+            lambda v, l, a: loss(da.ms_deform_attn_core_quad, v, l, a), (0, 1, 2)
+        )(*args)
+        for name, ge, gq in zip(("value", "locs", "attn"), g_exact, g_quad):
+            np.testing.assert_allclose(
+                np.asarray(gq), np.asarray(ge), rtol=1e-4, atol=1e-5,
+                err_msg=f"chunked-quad grad mismatch for {name}",
+            )
+
+    def test_shared_core_chunked_matches_unchunked(self, monkeypatch):
+        import salience_detr_tpu.ops.deform_attn as da
+
+        rng = np.random.default_rng(33)
+        B, Q, H, C, P = 2, 7, 2, 8, 3
+        value = jnp.asarray(rng.normal(size=(B, S, C)).astype(np.float32))
+        locs = jnp.asarray(
+            rng.uniform(-0.2, 1.2, size=(B, Q, len(SHAPES), P, 2)).astype(np.float32)
+        )
+        w = rng.uniform(size=(B, Q, H, len(SHAPES), P)).astype(np.float32)
+        attn = jnp.asarray(w / w.sum(axis=(-2, -1), keepdims=True))
+        want = np.asarray(
+            da.ms_deform_attn_core_shared(value, SHAPES, locs, attn, H)
+        )
+        monkeypatch.setattr(
+            da, "_GATHER_BUDGET_BYTES", float(B * 3 * len(SHAPES) * 4 * P * C * 4)
+        )
+        got = np.asarray(
+            da.ms_deform_attn_core_shared(value, SHAPES, locs, attn, H)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
