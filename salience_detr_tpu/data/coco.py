@@ -30,11 +30,18 @@ except Exception:  # pragma: no cover
 
 
 class CocoIndex:
-    """Minimal in-memory COCO annotation index (replaces pycocotools.COCO)."""
+    """Minimal in-memory COCO annotation index (replaces pycocotools.COCO).
 
-    def __init__(self, ann_file: str):
-        with open(ann_file) as f:
-            data = json.load(f)
+    Accepts an annotation-file path or an already-built COCO-format dict
+    (the latter is how ``convert_to_coco_api`` wraps non-COCO datasets,
+    mirroring /root/reference/util/coco_utils.py:29-77)."""
+
+    def __init__(self, ann_file):
+        if isinstance(ann_file, dict):
+            data = ann_file
+        else:
+            with open(ann_file) as f:
+                data = json.load(f)
         self.dataset = data
         self.imgs = {img["id"]: img for img in data.get("images", [])}
         self.cats = {c["id"]: c for c in data.get("categories", [])}

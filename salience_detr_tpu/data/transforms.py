@@ -636,6 +636,13 @@ lsj = Compose([
     RandomHorizontalFlip(0.5),
     Sanitize(),
 ])
+# reference presets.py:40-48: same recipe at the 1536 canvas
+lsj_1536 = Compose([
+    ScaleJitter((1536, 1536)),
+    RandomCropPad((1536, 1536)),
+    RandomHorizontalFlip(0.5),
+    Sanitize(),
+])
 
 ssd = Compose([
     RandomPhotometricDistort(),
@@ -718,6 +725,7 @@ PRESETS = {
     "multiscale": multiscale,
     "detr": detr,
     "lsj": lsj,
+    "lsj_1536": lsj_1536,
     "ssd": ssd,
     "ssdlite": ssdlite,
     "strong_album": strong_album,

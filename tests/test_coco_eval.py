@@ -425,3 +425,101 @@ class TestKeypointEval:
         # no usable gt at all -> AP stays undefined (-1, pycocotools
         # convention when num_gt == 0)
         assert ev.summarize()["AP"] == pytest.approx(-1.0)
+
+
+class TestConvertToCocoApi:
+    """convert_to_coco_api / get_coco_index_from_dataset (reference
+    util/coco_utils.py:29-88): arbitrary datasets become evaluable."""
+
+    class _ToyDataset:
+        """Non-COCO dataset emitting the framework sample contract."""
+
+        def __init__(self):
+            self.samples = [
+                {
+                    "image": np.zeros((100, 120, 3), np.uint8),
+                    "boxes": np.array([[10, 10, 50, 50], [60, 20, 100, 80]], np.float32),
+                    "labels": np.array([3, 7]),
+                    "image_id": 11,
+                },
+                {
+                    "image": np.zeros((80, 80, 3), np.uint8),
+                    "boxes": np.array([[0, 0, 40, 40]], np.float32),
+                    "labels": np.array([3]),
+                    "iscrowd": np.array([1]),
+                    "image_id": 12,
+                },
+            ]
+
+        def __len__(self):
+            return len(self.samples)
+
+        def get_raw(self, i):
+            return self.samples[i]
+
+    def test_index_structure(self):
+        from salience_detr_tpu.utils.coco_utils import convert_to_coco_api
+
+        idx = convert_to_coco_api(self._ToyDataset())
+        assert idx.img_ids == [11, 12]
+        assert idx.cat_ids == [3, 7]
+        assert idx.imgs[11]["height"] == 100 and idx.imgs[11]["width"] == 120
+        anns = idx.annotations(11)
+        assert [a["bbox"] for a in anns] == [[10, 10, 40, 40], [60, 20, 40, 60]]
+        assert [a["area"] for a in anns] == [1600, 2400]
+        assert idx.annotations(12)[0]["iscrowd"] == 1
+        # unique, 1-based annotation ids across images
+        ids = [a["id"] for i in idx.img_ids for a in idx.annotations(i)]
+        assert ids == [1, 2, 3]
+
+    def test_perfect_predictions_score_ap1(self):
+        from salience_detr_tpu.utils.coco_utils import convert_to_coco_api
+
+        ds = self._ToyDataset()
+        ev = CocoEvaluator(convert_to_coco_api(ds))
+        ev.update({
+            11: {
+                "boxes": np.array([[10, 10, 50, 50], [60, 20, 100, 80]], float),
+                "scores": np.array([0.9, 0.8]),
+                "labels": np.array([3, 7]),
+            },
+            12: {
+                "boxes": np.zeros((0, 4)),
+                "scores": np.zeros((0,)),
+                "labels": np.zeros((0,), int),
+            },
+        })
+        ev.accumulate()
+        assert ev.summarize()["AP"] == pytest.approx(1.0)
+
+    def test_get_index_unwraps_and_shortcuts(self, tmp_path):
+        from salience_detr_tpu.utils.coco_utils import get_coco_index_from_dataset
+
+        idx = make_index(
+            tmp_path,
+            [{"id": 1, "width": 10, "height": 10, "file_name": "a.jpg"}],
+            [ann(1, 1, 1, 1, 1, 5, 5)],
+            [{"id": 1, "name": "c"}],
+        )
+
+        class Holder:
+            coco = idx
+
+        class Wrapper:  # Subset-style nesting
+            dataset = Holder()
+
+        assert get_coco_index_from_dataset(Wrapper()) is idx
+        assert get_coco_index_from_dataset(self._ToyDataset()).img_ids == [11, 12]
+
+    def test_mask_annotations_roundtrip(self):
+        from salience_detr_tpu.utils.coco_eval import rle_decode
+        from salience_detr_tpu.utils.coco_utils import convert_to_coco_api
+
+        ds = self._ToyDataset()
+        m = np.zeros((2, 100, 120), bool)
+        m[0, 10:50, 10:50] = True
+        m[1, 20:80, 60:100] = True
+        ds.samples[0]["masks"] = m
+        idx = convert_to_coco_api(ds)
+        got = rle_decode(idx.annotations(11)[0]["segmentation"])
+        np.testing.assert_array_equal(got, m[0])

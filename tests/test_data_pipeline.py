@@ -311,13 +311,19 @@ class TestNewTransforms:
 
     def test_new_presets_run(self):
         rng = random.Random(0)
-        for name in ("ssdlite", "strong_album", "rtdetr"):
+        for name in ("ssdlite", "strong_album", "rtdetr", "lsj_1536"):
             for seed in range(3):
                 out = T.PRESETS[name](sample(seed=seed, h=240, w=320), rng)
                 assert len(out["boxes"]) == len(out["labels"])
                 h, w = out["image"].shape[:2]
                 assert (out["boxes"][:, [0, 2]] <= w + 1e-3).all()
                 assert (out["boxes"][:, [1, 3]] <= h + 1e-3).all()
+
+
+    def test_lsj_1536_canvas(self):
+        rng = random.Random(0)
+        out = T.PRESETS["lsj_1536"](sample(h=240, w=320), rng)
+        assert out["image"].shape[:2] == (1536, 1536)
 
     def test_rtdetr_resizes_to_640(self):
         rng = random.Random(0)

@@ -239,3 +239,50 @@ class TestBlockDiagGroupConv:
         want = Grouped().apply(variables, x)
         got = Dense().apply(variables, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+class TestSegmentationPostProcess:
+    """Differential test vs a direct torch restatement of the reference's
+    (config-unused) SegmentationPostProcess (/root/reference/models/bricks/
+    post_process.py:77-129): average sigmoid masks per argmax class (empty
+    class -> zeros), bilinear-upsample the per-class stack, argmax."""
+
+    def _torch_reference(self, logits, masks, target_hw):
+        import torch.nn.functional as F
+
+        lg = torch.tensor(logits)
+        mk = torch.tensor(masks)
+        out_class = lg.argmax(-1)
+        num_class = lg.shape[-1]
+        result = []
+        for b in range(lg.shape[0]):
+            per_class = []
+            for c in range(num_class):
+                sel = mk[b][out_class[b] == c].sigmoid()
+                if sel.numel() == 0:
+                    sel = sel.new_zeros((1, *mk.shape[-2:]))
+                per_class.append(sel.mean(0))
+            result.append(torch.stack(per_class, 0))
+        stack = torch.stack(result, 0)
+        up = F.interpolate(stack, size=target_hw, mode="bilinear", align_corners=False)
+        return up.argmax(1).numpy()
+
+    def test_matches_torch_reference(self):
+        from salience_detr_tpu.models.bricks.post_process import (
+            SegmentationPostProcess,
+        )
+
+        rng = np.random.default_rng(5)
+        B_, Q, C, h, w = 2, 9, 5, 8, 12
+        # well-separated logits/masks so bilinear rounding can't flip argmax
+        logits = rng.normal(size=(B_, Q, C)).astype(np.float32) * 4
+        masks = rng.normal(size=(B_, Q, h, w)).astype(np.float32) * 4
+        got = np.asarray(
+            SegmentationPostProcess()(jnp.asarray(logits), jnp.asarray(masks), (16, 24))
+        )
+        want = self._torch_reference(logits, masks, (16, 24))
+        assert got.shape == (B_, 16, 24)
+        # bilinear implementations may differ in ulps near class boundaries;
+        # demand near-total agreement instead of bit equality
+        agree = (got == want).mean()
+        assert agree > 0.99, f"only {agree:.3f} of pixels agree"
