@@ -133,3 +133,105 @@ def test_resnext_backbone_rules_cover_backbone_tree():
     assert tree_paths == dsts, (
         sorted(tree_paths - dsts)[:10], sorted(dsts - tree_paths)[:10]
     )
+
+
+def _synthesize_torch_state(rules, tree_shapes):
+    """Synthesize a COMPLETE reference state_dict at the real dimensions by
+    inverting each rule's layout transform against the flax tree's shapes.
+    Sources shared by several rules (merged in_proj, BN stat pairs) are
+    checked for consistency."""
+    inv = {}
+
+    def torch_shape(kind, shp):
+        if kind in ("copy",):
+            return shp
+        if kind == "conv":
+            return (shp[3], shp[2], shp[0], shp[1])
+        if kind == "linear":
+            return (shp[1], shp[0])
+        if kind == "flatten":
+            return (shp[0], 1, 1)  # convnext layer_scale (C, 1, 1)
+        if kind == "dcn_kernel":
+            kk, cin, f = shp
+            k = int(round(kk ** 0.5))
+            return (f, cin, k, k)
+        if kind == "deconv":
+            return (shp[2], shp[3], shp[0], shp[1])
+        if kind == "vit_pos":
+            return (1, shp[0] * shp[1] + 1, shp[2])
+        if kind.startswith("inproj_w"):
+            return (3 * shp[1], shp[0])
+        if kind.startswith("inproj_b"):
+            return (3 * shp[0],)
+        raise ValueError(kind)
+
+    for src, dst, kind in rules:
+        t = torch_shape(kind, tree_shapes[dst])
+        if src in inv:
+            assert inv[src] == t, f"inconsistent synthesized shape for {src}"
+        inv[src] = t
+    rng = np.random.default_rng(0)
+    return {k: rng.normal(size=s).astype(np.float32) for k, s in inv.items()}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("backbone", ["resnet50", "swin_l"])
+def test_full_scale_conversion_rehearsal(backbone):
+    """Full-scale restore rehearsal (VERDICT r3 #8): a complete reference
+    state_dict at REAL dimensions (R50 3-4-6-3 / Swin-L, embed 256, 6+6
+    layers, 8 heads, 900 queries) must convert and merge into the real flax
+    tree with EVERY tensor applied shape-exact — no missing, unused, or
+    mismatched keys.  (Numerical parity of the mapped forward is covered at
+    toy scale by test_full_model_parity.py; this test pins the real tree's
+    SHAPES, which the toy cannot.)"""
+    from salience_detr_tpu.utils.weight_converter import convert_state_dict
+
+    kwargs = (
+        {} if backbone == "resnet50" else {"backbone_return_indices": (1, 2, 3)}
+    )
+    cfg = SalienceDETRConfig(backbone=backbone, **kwargs)
+    model, _, _, _ = build_salience_detr(cfg)
+    B, H, W, M = 1, 64, 64, 4
+    images = jnp.zeros((B, H, W, 3))
+    sizes = jnp.full((B, 2), 32, jnp.int32)
+    targets = Targets(
+        jnp.zeros((B, M), jnp.int32), jnp.full((B, M, 4), 0.5), jnp.ones((B, M), bool)
+    )
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {
+                "params": jax.random.PRNGKey(0),
+                "denoising": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2),
+            },
+            images, sizes, targets, train=True,
+        )
+    )
+    flat_shapes = {
+        k: tuple(v.shape)
+        for k, v in flatten_variables(
+            jax.tree.map(lambda x: np.zeros(x.shape, np.float32), shapes)
+        ).items()
+    }
+    rules = salience_detr_rules(backbone)
+    torch_state = _synthesize_torch_state(rules, flat_shapes)
+    flat_new, missing, unused = convert_state_dict(torch_state, rules)
+    assert not missing, missing[:10]
+    assert not unused, unused[:10]
+    mismatched = [
+        k for k, v in flat_new.items()
+        if k not in flat_shapes or tuple(v.shape) != flat_shapes[k]
+    ]
+    assert not mismatched, mismatched[:10]
+    not_applied = sorted(set(flat_shapes) - set(flat_new))
+    assert not not_applied, not_applied[:10]
+    # spot-check a value actually rode through a layout transform intact:
+    # conv kernel OIHW[o, i, h, w] must land at HWIO[h, w, i, o]
+    if backbone == "resnet50":
+        src_key, dst_key = "backbone.conv1.weight", "params/backbone/conv1/kernel"
+    else:
+        src_key = "backbone.0.features.0.0.weight"
+        dst_key = "params/backbone/patch_embed/kernel"
+    src = torch_state[src_key]
+    dst = flat_new[dst_key]
+    np.testing.assert_array_equal(dst[2, 3, 1, 40], src[40, 1, 2, 3])
