@@ -40,9 +40,11 @@ class ExportedDetector:
     """Deployment runner for a serialized StableHLO artifact — the TPU-world
     counterpart of the reference's ``ONNXDetector``
     (/root/reference/tools/pytorch2onnx.py:18-53): load the artifact, apply
-    the eval preprocessing (shortest-side resize + canvas pad + ImageNet
-    normalization, identical geometry to the live pipeline), execute, and
-    return per-image detections in original-image coordinates.
+    the host-side eval geometry (shortest-side resize + canvas pad — dtype
+    convert and ImageNet normalization are baked INTO current artifacts, like
+    the reference's in-model eval transform, base_detector.py:68-75; legacy
+    float32 artifacts are normalized host-side), execute, and return
+    per-image detections in original-image coordinates.
 
     Requires an artifact exported with ``--with-postprocess``.  ``min_size``/
     ``max_size`` must match the model config the artifact was exported from
@@ -98,8 +100,14 @@ class ExportedDetector:
                 s = fit_to_canvas(s, self.canvas)
             samples.append(s)
         batch = pack_batch(samples, self.canvas, max_gt=1)
+        if self.exported.in_avals[0].dtype == jnp.uint8:
+            # self-contained artifact: dtype convert + normalize are IN-graph
+            first = jnp.asarray(batch["images"])
+        else:
+            # legacy artifact exported before normalize was folded in
+            first = normalize_images(jnp.asarray(batch["images"], jnp.float32) / 255.0)
         dets = self.exported.call(
-            normalize_images(jnp.asarray(batch["images"], jnp.float32) / 255.0),
+            first,
             jnp.asarray(batch["image_sizes"]),
             jnp.asarray(batch["orig_sizes"]),
         )
@@ -147,12 +155,22 @@ def main():
         print(f"restored checkpoint from {args.checkpoint}")
 
     if args.with_postprocess:
+        from salience_detr_tpu.models.detectors.salience_detr import normalize_images
+
         def fwd(images, sizes, orig_sizes):
-            out = model.apply(variables, images, sizes, train=False)
+            # self-contained artifact: raw uint8 canvas pixels in, detections
+            # out — dtype convert + ImageNet normalize live IN the graph,
+            # matching the reference's ONNX contract where eval transforms
+            # are part of the exported model
+            # (/root/reference/models/detectors/base_detector.py:68-75,
+            # tools/pytorch2onnx.py:83-139); only the canvas resize/pad stays
+            # host-side (it is geometry, not numerics)
+            x = normalize_images(images.astype(jnp.float32) / 255.0)
+            out = model.apply(variables, x, sizes, train=False)
             return postprocess(out["pred_class"][-1], out["pred_coord"][-1], orig_sizes)
 
         in_shapes = (
-            jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, W, 3), jnp.uint8),
             jax.ShapeDtypeStruct((B, 2), jnp.int32),
             jax.ShapeDtypeStruct((B, 2), jnp.int32),
         )
@@ -174,7 +192,12 @@ def main():
 
     if args.verify:
         rng = np.random.default_rng(0)
-        test_images = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+        if args.with_postprocess:
+            test_images = jnp.asarray(
+                rng.integers(0, 256, size=(B, H, W, 3), dtype=np.uint8)
+            )
+        else:
+            test_images = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
         test_inputs = (test_images, sizes) + ((sizes,) if args.with_postprocess else ())
         want = jax.jit(fwd)(*test_inputs)
         reloaded = jax_export.deserialize(blob)
