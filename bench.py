@@ -142,12 +142,27 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 4))
     H, W = 800, 1344
     iters = 10
+    # BENCH_SAMPLING selects the deformable-sampling variant: "shared"
+    # (1 location group), "groups<G>" (G groups), or "exact" (per-head,
+    # checkpoint-exact numerics), with an optional "_dec<D>" decoder
+    # cross-attn override (D=0 exact, D>=1 groups).  The flagship default is
+    # chosen by the paired quality campaign in ROADMAP.md.
+    sampling = os.environ.get("BENCH_SAMPLING", "shared_dec0")
+    dec_groups = -1
+    if "_dec" in sampling:
+        sampling, dec = sampling.split("_dec")
+        dec_groups = int(dec)
+    if sampling.startswith("groups"):
+        groups = int(sampling[len("groups"):])
+    elif sampling == "shared":
+        groups = 1
+    else:
+        groups = 0  # exact per-head
     cfg = SalienceDETRConfig(
         dtype=jnp.bfloat16,
-        # BENCH_SAMPLING=exact benches the reference's per-head sampling
-        # (checkpoint-exact numerics) instead of the TPU-native head-shared
-        # fast path; both variants' quality is tracked in ROADMAP.md
-        shared_sampling_locations=os.environ.get("BENCH_SAMPLING", "shared") != "exact",
+        shared_sampling_locations=groups > 0,
+        sampling_groups=groups,
+        decoder_sampling_groups=dec_groups,
         remat_policy=os.environ.get("REMAT_POLICY", "full"),
     )
     model, criterion, sal_criterion, _ = build_salience_detr(cfg)

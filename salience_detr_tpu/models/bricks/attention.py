@@ -21,6 +21,7 @@ import os
 from salience_detr_tpu.ops.deform_attn import (
     compute_sampling_locations,
     ms_deform_attn_core,
+    ms_deform_attn_core_grouped,
     ms_deform_attn_core_quad,
     ms_deform_attn_core_shared,
 )
@@ -69,7 +70,11 @@ class MultiScaleDeformableAttention(nn.Module):
     * ``shared_locations=True`` — TPU-native head-shared sampling locations
       (per-head attention weights retained).  One gather fetches a 2x2xC
       patch for all heads, cutting gather issues 32x — see
-      ops/deform_attn.ms_deform_attn_core_shared.
+      ops/deform_attn.ms_deform_attn_core_shared;
+    * ``sampling_groups=G`` (overrides ``shared_locations`` when > 0) — G
+      location groups each shared by H/G heads, the speed/quality frontier
+      between the two: G=1 ≡ fully shared, G=H ≡ exact per-head.  See
+      ops/deform_attn.ms_deform_attn_core_grouped.
     """
 
     embed_dim: int = 256
@@ -77,6 +82,8 @@ class MultiScaleDeformableAttention(nn.Module):
     num_heads: int = 8
     num_points: int = 4
     shared_locations: bool = False
+    # 0 = legacy (derive from shared_locations); 1..H = explicit group count
+    sampling_groups: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -93,7 +100,9 @@ class MultiScaleDeformableAttention(nn.Module):
         _, S, _ = value.shape
         H, L, P = self.num_heads, self.num_levels, self.num_points
         head_dim = self.embed_dim // H
-        offset_heads = 1 if self.shared_locations else H
+        G = self.sampling_groups or (1 if self.shared_locations else H)
+        assert 1 <= G <= H and H % G == 0, (G, H)
+        offset_heads = G
 
         value = nn.Dense(
             self.embed_dim,
@@ -109,9 +118,11 @@ class MultiScaleDeformableAttention(nn.Module):
             offset_heads * L * P * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=(
+                # G=1: fan the P points over P directions; G>1: the
+                # reference's directional star over G location groups
                 _shared_offset_bias_init(L, P)
-                if self.shared_locations
-                else _offset_bias_init(H, L, P)
+                if G == 1
+                else _offset_bias_init(G, L, P)
             ),
             dtype=self.dtype,
             name="sampling_offsets",
@@ -131,12 +142,16 @@ class MultiScaleDeformableAttention(nn.Module):
             spatial_shapes, P,
         )  # (B, Q, offset_heads, L, P, 2)
 
-        if self.shared_locations:
+        if G == 1:
             # quad-packed backward scatter in training only (the custom-vjp
             # wrapper costs eval ~3% for a backward-only win: +18% train step)
             out = ms_deform_attn_core_shared(
                 value, spatial_shapes, locations[:, :, 0], weights, H,
                 quad_scatter=train,
+            )
+        elif G < H:
+            out = ms_deform_attn_core_grouped(
+                value, spatial_shapes, locations, weights, H
             )
         else:
             # quad fwd layout in train AND eval: the r3 train-OOM (all

@@ -104,6 +104,7 @@ class SalienceEncoderLayer(nn.Module):
     n_points: int = 4
     topk_sa: int = 300
     shared_locations: bool = False
+    sampling_groups: int = 0  # 0 = legacy; 1..H location groups (attention.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -138,7 +139,8 @@ class SalienceEncoderLayer(nn.Module):
 
         src2 = MultiScaleDeformableAttention(
             C, self.n_levels, self.n_heads, self.n_points,
-            shared_locations=self.shared_locations, dtype=self.dtype, name="self_attn",
+            shared_locations=self.shared_locations,
+            sampling_groups=self.sampling_groups, dtype=self.dtype, name="self_attn",
         )(query + query_pos, reference_points, value, spatial_shapes, key_padding_mask,
           train=train)
         query = query + src2
@@ -167,6 +169,7 @@ class SalienceDecoderLayer(nn.Module):
     n_levels: int = 4
     n_points: int = 4
     shared_locations: bool = False
+    sampling_groups: int = 0  # 0 = legacy; 1..H location groups (attention.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -191,7 +194,8 @@ class SalienceDecoderLayer(nn.Module):
 
         q2 = MultiScaleDeformableAttention(
             C, self.n_levels, self.n_heads, self.n_points,
-            shared_locations=self.shared_locations, dtype=self.dtype, name="cross_attn",
+            shared_locations=self.shared_locations,
+            sampling_groups=self.sampling_groups, dtype=self.dtype, name="cross_attn",
         )(query + query_pos, reference_points, value, spatial_shapes, key_padding_mask,
           train=train)
         query = query + q2
@@ -230,6 +234,14 @@ class SalienceTransformer(nn.Module):
     # TPU-native head-shared sampling locations (see bricks/attention.py);
     # set False for exact reference-checkpoint numerics
     shared_locations: bool = False
+    # 0 = legacy (shared_locations decides); 1..H = G location groups each
+    # shared by H/G heads (ops/deform_attn.ms_deform_attn_core_grouped)
+    sampling_groups: int = 0
+    # decoder cross-attn override: -1 = follow the encoder settings; 0 =
+    # exact per-head; 1..H = G location groups.  The decoder's ~1k queries
+    # are a rounding error next to the encoder's ~41k query-layers, so exact
+    # decoder sampling buys back per-head diversity nearly for free
+    decoder_sampling_groups: int = -1
     # rematerialize encoder/decoder layers in backward: the deformable
     # attention's gathered rows (~1.5GB/layer at the 800x1344 canvas) would
     # otherwise be saved as residuals and exhaust HBM
@@ -283,6 +295,7 @@ class SalienceTransformer(nn.Module):
                 self.embed_dim, self.d_ffn, self.num_heads, self.num_feature_levels,
                 self.num_points, self.topk_sa,
                 shared_locations=self.shared_locations,
+                sampling_groups=self.sampling_groups,
                 dtype=self.dtype, name=f"encoder_layer_{i}",
             )
             for i in range(self.num_encoder_layers)
@@ -302,10 +315,17 @@ class SalienceTransformer(nn.Module):
             if self.remat_layers
             else SalienceDecoderLayer
         )
+        if self.decoder_sampling_groups < 0:
+            dec_shared, dec_groups = self.shared_locations, self.sampling_groups
+        elif self.decoder_sampling_groups == 0:
+            dec_shared, dec_groups = False, self.num_heads  # exact per-head
+        else:
+            dec_shared, dec_groups = True, self.decoder_sampling_groups
         self.decoder_layers = [
             dec_cls(
                 self.embed_dim, self.d_ffn, self.num_heads, self.num_feature_levels,
-                self.num_points, shared_locations=self.shared_locations,
+                self.num_points, shared_locations=dec_shared,
+                sampling_groups=dec_groups,
                 dtype=self.dtype, name=f"decoder_layer_{i}",
             )
             for i in range(self.num_decoder_layers)

@@ -44,6 +44,16 @@ class SalienceDETRConfig:
     # TPU-native head-shared deformable sampling (fast path); False restores
     # the reference's exact per-head sampling for checkpoint parity
     shared_sampling_locations: bool = False
+    # 0 = legacy (shared_sampling_locations decides); G in [1, num_heads] =
+    # G sampling-location groups each shared by num_heads/G heads — the
+    # speed/quality frontier between fully-shared (G=1) and exact (G=H);
+    # see ops/deform_attn.ms_deform_attn_core_grouped
+    sampling_groups: int = 0
+    # decoder cross-attn override: -1 = follow the encoder sampling settings;
+    # 0 = exact per-head; 1..H = G groups.  The decoder's ~1k queries cost a
+    # fraction of the encoder's ~41k query-layers, so exact decoder sampling
+    # restores per-head diversity nearly for free
+    decoder_sampling_groups: int = -1
     # backbone
     backbone: str = "resnet50"
     backbone_return_indices: Tuple[int, ...] = (1, 2, 3)
@@ -142,6 +152,8 @@ def build_salience_detr(cfg: SalienceDETRConfig):
         max_num_embedding=cfg.max_num_embedding,
         neck=repnet,
         shared_locations=cfg.shared_sampling_locations,
+        sampling_groups=cfg.sampling_groups,
+        decoder_sampling_groups=cfg.decoder_sampling_groups,
         remat_policy=cfg.remat_policy,
         dtype=cfg.dtype,
     )

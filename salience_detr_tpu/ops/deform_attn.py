@@ -274,6 +274,160 @@ def ms_deform_attn_core_quad(
     return out.astype(compute_dtype)
 
 
+def ms_deform_attn_core_grouped(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    num_heads: int,
+) -> jnp.ndarray:
+    """GROUP-shared deformable attention: G sampling-location groups, each
+    shared by H/G heads — the intermediate points on the speed/quality
+    frontier between the head-shared core (G=1, fastest) and the exact
+    per-head core (G=H, reference numerics).
+
+    Motivation (quality campaign, ROADMAP r4): fully-shared sampling trails
+    exact per-head sampling beyond seed noise on the paired synthetic-quality
+    runs — heads lose spatial diversity when all sample the same 16 points.
+    Grouped sampling restores diversity in controlled steps while keeping the
+    quad-packed gather economics: per point each group issues ONE gather of a
+    (4*C/G)-wide quad row (the 2x2 bilinear neighbourhood of the group's
+    channel slice), so at H=8, C=256:
+
+      G=1: 1 issue/point of 4C rows    (quad variant of the shared core)
+      G=2: 2 issues/point of 2C rows
+      G=4: 4 issues/point of C rows    (same issue count and row width as
+                                        the head-shared core's 4 corner rows)
+      G=8: 8 issues/point of C/2 rows  (== ms_deform_attn_core_quad)
+
+    Total gathered bytes are G-independent; only the issue count scales, and
+    the v5e charges ~max(issue cost, bytes/bandwidth) per gather (measured in
+    tools/bench_gather.py).  The backward needs no custom VJP: autodiff of
+    the quad-row gather IS the quad-packed scatter-add (the fast scatter
+    shape, ROADMAP r3), with three in-level rolls to unpack.
+
+    Args: value (B, S, C) channel-packed, padding zeroed; sampling_locations
+    (B, Q, G, L, P, 2) normalized; attention_weights (B, Q, H, L, P)
+    softmaxed over L*P.  Heads h in [g*H/G, (g+1)*H/G) use location group g
+    — the channel slice [g*C/G, (g+1)*C/G) is contiguous because value is
+    head-major.  Returns (B, Q, C).
+
+    Numerical spec: deform_attn_numpy_spec with each group's locations
+    broadcast to its heads (tests/test_deform_attn.py::TestGroupedCore).
+    """
+    B, S, C = value.shape
+    _, Q, G, L, P, _ = sampling_locations.shape
+    H = num_heads
+    assert H % G == 0 and C % G == 0, (H, C, G)
+    Hg = H // G
+    Cg = C // G
+    D = C // H
+    assert L == len(spatial_shapes)
+    assert sum(h * w for h, w in spatial_shapes) == S
+
+    compute_dtype = value.dtype
+    value_bg = jnp.swapaxes(value.reshape(B, S, G, Cg), 1, 2)  # (B, G, S, Cg)
+
+    # Per-level quad-packed group buffers + chunk-invariant addressing (the
+    # same scheme as ms_deform_attn_core_quad, with the head axis replaced by
+    # the group axis): quad[i] = concat(v[i], v[i+1], v[i+w], v[i+w+1]);
+    # gather base clip((y0, x0)) into [0, (h-2, w-2)]; per-slot weights
+    # re-derived from the TRUE bilinear corner each slot holds (zero when the
+    # slot pixel is not one of the point's corners or lies outside the level)
+    # keep zero-padding grid_sample semantics exactly.
+    quads = []  # (B*G*h*w, 4*Cg) per level
+    idx_levels = []  # (B, G, Q, P) flat row index incl. batch/group base
+    slotw_levels = []  # (B, G, Q, P, 4) f32
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        seg = jax.lax.slice_in_dim(value_bg, start, start + h * w, axis=2)
+        quad = jnp.concatenate(
+            [
+                seg,
+                jnp.roll(seg, -1, axis=2),
+                jnp.roll(seg, -w, axis=2),
+                jnp.roll(seg, -(w + 1), axis=2),
+            ],
+            axis=-1,
+        )  # (B, G, h*w, 4*Cg)
+        quads.append(quad.reshape(B * G * h * w, 4 * Cg))
+
+        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # (B, Q, G, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        bx = jnp.clip(x0i, 0, max(w - 2, 0))
+        by = jnp.clip(y0i, 0, max(h - 2, 0))
+
+        slot_ws = []
+        for sy in (0, 1):
+            py = by + sy
+            wy = jnp.where(py == y0i, 1.0 - fy, jnp.where(py == y0i + 1, fy, 0.0))
+            wy = jnp.where(py < h, wy, 0.0)
+            for sx in (0, 1):
+                px = bx + sx
+                wx = jnp.where(px == x0i, 1.0 - fx, jnp.where(px == x0i + 1, fx, 0.0))
+                wx = jnp.where(px < w, wx, 0.0)
+                slot_ws.append(wx * wy)
+        slot_w = jnp.stack(slot_ws, axis=-1)  # (B, Q, G, P, 4)
+        slotw_levels.append(jnp.transpose(slot_w, (0, 2, 1, 3, 4)))
+
+        base = (
+            jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * G
+            + jnp.arange(G, dtype=jnp.int32)[None, :, None, None]
+        ) * (h * w)  # (B, G, 1, 1)
+        idx = by * w + bx  # (B, Q, G, P)
+        idx_levels.append(jnp.transpose(idx, (0, 2, 1, 3)) + base)  # (B, G, Q, P)
+        start += h * w
+
+    # (B, Q, H, L, P) -> (B, G, Q, Hg, L, P)
+    attn_g = jnp.transpose(
+        attention_weights.reshape(B, Q, G, Hg, L, P), (0, 2, 1, 3, 4, 5)
+    )
+
+    def run_chunk(s0, s1):
+        qc = s1 - s0
+        out_c = jnp.zeros((B, G, qc, Hg, D), dtype=jnp.float32)
+        for lvl in range(L):
+            g = quads[lvl].at[
+                idx_levels[lvl][:, :, s0:s1].reshape(-1)
+            ].get(mode="promise_in_bounds")
+            if not _SKIP_CKPT_NAME:
+                g = checkpoint_name(g, "msda_gather")
+            # fast-path reduce (mirrors the shared core's einsum mode): both
+            # stages consume the gathered gigabytes in the value dtype, the
+            # level accumulator carries f32
+            g = g.reshape(B, G, qc, P, 4, Hg, D)
+            sampled = jnp.einsum(
+                "bgqps,bgqpshd->bgqphd",
+                slotw_levels[lvl][:, :, s0:s1].astype(g.dtype), g,
+            )
+            out_c = out_c + jnp.einsum(
+                "bgqhp,bgqphd->bgqhd",
+                attn_g[:, :, s0:s1, :, lvl].astype(g.dtype), sampled,
+                preferred_element_type=jnp.float32,
+            )
+        return out_c
+
+    q_chunk = derive_q_chunk(B, Q, L, P, C, jnp.dtype(compute_dtype).itemsize)
+    if Q <= q_chunk:
+        out = run_chunk(0, Q)
+    else:
+        out = jnp.concatenate(
+            [run_chunk(s0, min(s0 + q_chunk, Q)) for s0 in range(0, Q, q_chunk)],
+            axis=2,
+        )
+
+    # (B, G, Q, Hg, D) -> (B, Q, G*Hg*D) == (B, Q, C), head-major
+    out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, Q, C)
+    return out.astype(compute_dtype)
+
+
 def compute_sampling_locations(
     reference_points: jnp.ndarray,
     sampling_offsets: jnp.ndarray,

@@ -312,6 +312,175 @@ class TestQuadScatterGrad:
                 )
 
 
+class TestGroupedCore:
+    """ms_deform_attn_core_grouped: G sampling-location groups, each shared
+    by H/G heads.  Spec = deform_attn_numpy_spec with each group's locations
+    broadcast to its heads."""
+
+    def _inputs(self, seed, B=2, Q=6, H=4, D=3, G=2, P=3, shapes=SHAPES,
+                loc_range=(-0.2, 1.2)):
+        s = sum(h * w for h, w in shapes)
+        rng = np.random.default_rng(seed)
+        value = rng.normal(size=(B, s, H * D)).astype(np.float32)
+        locs_g = rng.uniform(
+            *loc_range, size=(B, Q, G, len(shapes), P, 2)
+        ).astype(np.float32)
+        w = rng.uniform(size=(B, Q, H, len(shapes), P)).astype(np.float32)
+        w = w / w.sum(axis=(-2, -1), keepdims=True)
+        return value, locs_g, w
+
+    def _spec(self, value, shapes, locs_g, w, H):
+        B, s, C = value.shape
+        G = locs_g.shape[2]
+        D = C // H
+        # broadcast group locations to their heads: head h uses group h//(H/G)
+        locs_h = np.repeat(locs_g, H // G, axis=2)  # (B, Q, H, L, P, 2)
+        return deform_attn_numpy_spec(value.reshape(B, s, H, D), shapes, locs_h, w)
+
+    @pytest.mark.parametrize("G", [1, 2, 4])
+    def test_matches_numpy_spec(self, G):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_grouped
+
+        value, locs_g, w = self._inputs(21 + G, G=G)
+        got = np.asarray(
+            ms_deform_attn_core_grouped(
+                jnp.asarray(value), SHAPES, jnp.asarray(locs_g), jnp.asarray(w), 4
+            )
+        )
+        want = self._spec(value, SHAPES, locs_g, w, H=4)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_g_equals_h_matches_exact_core(self):
+        value, locs_g, w = self._inputs(31, G=4)
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_grouped
+
+        got = np.asarray(
+            ms_deform_attn_core_grouped(
+                jnp.asarray(value), SHAPES, jnp.asarray(locs_g), jnp.asarray(w), 4
+            )
+        )
+        B, s, C = value.shape
+        want = np.asarray(
+            ms_deform_attn_core(
+                jnp.asarray(value.reshape(B, s, 4, C // 4)), SHAPES,
+                jnp.asarray(locs_g), jnp.asarray(w),
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_borders_and_outside(self):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_grouped
+
+        value, locs_g, w = self._inputs(41, G=2, loc_range=(-0.5, 1.5))
+        locs_g[0, 0] = -3.0
+        locs_g[0, 1] = 0.999
+        locs_g[0, 2] = 0.001
+        got = np.asarray(
+            ms_deform_attn_core_grouped(
+                jnp.asarray(value), SHAPES, jnp.asarray(locs_g), jnp.asarray(w), 4
+            )
+        )
+        want = self._spec(value, SHAPES, locs_g, w, H=4)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_single_row_col_levels(self):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_grouped
+
+        shapes = [(1, 5), (3, 1), (1, 1)]
+        value, locs_g, w = self._inputs(43, G=2, shapes=shapes)
+        got = np.asarray(
+            ms_deform_attn_core_grouped(
+                jnp.asarray(value), shapes, jnp.asarray(locs_g), jnp.asarray(w), 4
+            )
+        )
+        want = self._spec(value, shapes, locs_g, w, H=4)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_gradients_match_broadcast_exact(self):
+        """Autodiff through the grouped core == autodiff through the exact
+        core with broadcast locations (group-location grads summed over the
+        group's heads)."""
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_grouped
+
+        H, G = 4, 2
+        value, locs_g, w = self._inputs(53, H=H, G=G)
+        B, s, C = value.shape
+
+        def loss_grouped(v, lg, a):
+            return jnp.sum(ms_deform_attn_core_grouped(v, SHAPES, lg, a, H) ** 2)
+
+        def loss_exact(v, lg, a):
+            lh = jnp.repeat(lg, H // G, axis=2)
+            out = ms_deform_attn_core(v.reshape(B, s, H, C // H), SHAPES, lh, a)
+            return jnp.sum(out ** 2)
+
+        args = (jnp.asarray(value), jnp.asarray(locs_g), jnp.asarray(w))
+        gg = jax.grad(loss_grouped, (0, 1, 2))(*args)
+        ge = jax.grad(loss_exact, (0, 1, 2))(*args)
+        for a, b in zip(gg, ge):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+    def test_chunked_matches_unchunked(self, monkeypatch):
+        import salience_detr_tpu.ops.deform_attn as da
+
+        value, locs_g, w = self._inputs(61, G=2)
+        args = (jnp.asarray(value), SHAPES, jnp.asarray(locs_g), jnp.asarray(w), 4)
+        full = np.asarray(da.ms_deform_attn_core_grouped(*args))
+        monkeypatch.setattr(da, "_GATHER_BUDGET_BYTES", 4096.0)
+        chunked = np.asarray(da.ms_deform_attn_core_grouped(*args))
+        np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-6)
+
+
+class TestGroupedModule:
+    """MultiScaleDeformableAttention with sampling_groups wired through."""
+
+    def _module_inputs(self, seed, B=2, Q=5, C=8):
+        rng = np.random.default_rng(seed)
+        value = rng.normal(size=(B, S, C)).astype(np.float32)
+        query = rng.normal(size=(B, Q, C)).astype(np.float32)
+        ref = rng.uniform(0.2, 0.8, size=(B, Q, len(SHAPES), 2)).astype(np.float32)
+        return jnp.asarray(query), jnp.asarray(ref), jnp.asarray(value)
+
+    def test_groups_equal_heads_matches_exact_module(self):
+        """sampling_groups=H and the legacy exact module share param shapes,
+        init, and numerics — a checkpoint trained either way loads in both."""
+        from salience_detr_tpu.models.bricks.attention import (
+            MultiScaleDeformableAttention,
+        )
+
+        H = 4
+        query, ref, value = self._module_inputs(71)
+        exact = MultiScaleDeformableAttention(8, len(SHAPES), H, 2)
+        grouped = MultiScaleDeformableAttention(
+            8, len(SHAPES), H, 2, sampling_groups=H
+        )
+        variables = exact.init(
+            {"params": jax.random.PRNGKey(0)}, query, ref, value, tuple(SHAPES)
+        )
+        a = exact.apply(variables, query, ref, value, tuple(SHAPES))
+        b = grouped.apply(variables, query, ref, value, tuple(SHAPES))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6)
+
+    def test_groups_two_runs_and_differs_from_shared(self):
+        from salience_detr_tpu.models.bricks.attention import (
+            MultiScaleDeformableAttention,
+        )
+
+        query, ref, value = self._module_inputs(73)
+        g2 = MultiScaleDeformableAttention(8, len(SHAPES), 4, 2, sampling_groups=2)
+        variables = g2.init(
+            {"params": jax.random.PRNGKey(0)}, query, ref, value, tuple(SHAPES)
+        )
+        out = g2.apply(variables, query, ref, value, tuple(SHAPES))
+        assert out.shape == (2, 5, 8)
+        assert np.isfinite(np.asarray(out)).all()
+        # offsets head-dim is the group count
+        k = variables["params"]["sampling_offsets"]["kernel"]
+        assert k.shape == (8, 2 * len(SHAPES) * 2 * 2)
+
+
 class TestDerivedChunking:
     """The MSDA query-chunk size is derived from shapes + an HBM budget
     (replacing the round-3 magic constant max_bq = 4 * 11403 that silently

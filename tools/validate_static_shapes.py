@@ -81,6 +81,17 @@ def main():
         "of the TPU-native head-shared fast path — run both and compare to "
         "quantify the shared-locations quality delta (VERDICT r2 weak #3)",
     )
+    p.add_argument(
+        "--sampling-groups", type=int, default=0,
+        help="G sampling-location groups each shared by num_heads/G heads "
+        "(ops/deform_attn.ms_deform_attn_core_grouped); 0 = follow "
+        "--exact-sampling (exact = per-head, else fully shared)",
+    )
+    p.add_argument(
+        "--decoder-sampling-groups", type=int, default=-1,
+        help="decoder cross-attn override: -1 = follow encoder settings, "
+        "0 = exact per-head, 1..H = G groups",
+    )
     args = p.parse_args()
 
     import jax
@@ -111,6 +122,8 @@ def main():
         layer_filter_ratio=(1.0, 0.5), denoising_nums=8,
         max_num_embedding=32,
         shared_sampling_locations=not args.exact_sampling,
+        sampling_groups=args.sampling_groups,
+        decoder_sampling_groups=args.decoder_sampling_groups,
         backbone_freeze_indices=(), min_size=CANVAS[0], max_size=CANVAS[1],
         select_box_nums_for_evaluation=20,
     )
@@ -178,7 +191,13 @@ def main():
         "ap50": round(float(stats["AP50"]), 4),
         "steps": args.steps,
         "seed": args.seed,
-        "sampling": "exact" if args.exact_sampling else "shared",
+        "sampling": (
+            f"groups{args.sampling_groups}" if args.sampling_groups
+            else ("exact" if args.exact_sampling else "shared")
+        ) + (
+            f"_dec{args.decoder_sampling_groups}"
+            if args.decoder_sampling_groups >= 0 else ""
+        ),
         "passed": bool(stats["AP50"] >= args.min_ap50),
     }
     print(json.dumps(result))
