@@ -32,10 +32,16 @@ model_config = SalienceDETRConfig(
     min_size=800,
     max_size=1333,
     select_box_nums_for_evaluation=300,
-    # TPU-native head-shared deformable sampling: XLA gathers are issue-bound
-    # (~10ns/slice), so fetching one 2x2xC patch per point instead of per-head
-    # 32-float corners cuts the model's dominant cost ~30x (tools/bench_gather.py)
+    # TPU-native head-shared deformable sampling in the ENCODER: XLA gathers
+    # are issue-bound (~10ns/slice), so fetching one 2x2xC patch per point
+    # instead of per-head 32-float corners cuts the model's dominant cost ~30x
+    # (tools/bench_gather.py).  The DECODER cross-attn keeps the reference's
+    # exact per-head sampling (decoder_sampling_groups=0): the paired quality
+    # campaign (ROADMAP.md, docs/quality_campaign_r4.jsonl) showed per-head
+    # decoder sampling is the quality lever, and the decoder is only ~2.5% of
+    # the encoder's gather volume.
     shared_sampling_locations=True,
+    decoder_sampling_groups=0,
     dtype=jnp.bfloat16,
     # BatchNorm stats sync automatically under GSPMD (global-batch reductions);
     # a named-axis psum is only needed under shard_map

@@ -42,6 +42,16 @@ _SKIP_CKPT_NAME = os.environ.get("MSDA_SKIP_CKPT_NAME", "0") == "1"
 # under identical driver conditions).  Kept only as an A/B knob.
 _REDUCE_MODE = os.environ.get("MSDA_REDUCE", "einsum")
 
+# Reduce dtype for the EXACT per-head quad core: "value" (default) consumes
+# the gathered rows in the value dtype with f32 dot accumulation — the same
+# economics as the shared/grouped cores, and the same semantics as the
+# reference CUDA kernel under AMP (ms_deform_im2col computes in scalar_t =
+# the value dtype, ms_deform_attn_cuda.cu); "f32" upcasts every gathered row
+# before reducing (the r1-r3 behavior — doubles the traffic over the
+# gathered gigabytes, kept for A/B).  In f32 runs the two are identical, so
+# CPU parity tests are unaffected.
+_EXACT_REDUCE = os.environ.get("MSDA_EXACT_REDUCE", "value")
+
 # HBM budget for the materialized gathered corner rows per query chunk.
 # 1.5 GB is the known-good batch-4 hot-layer working set (ROADMAP r3): the
 # largest that never OOMed alongside the rest of the program's live set
@@ -250,14 +260,20 @@ def ms_deform_attn_core_quad(
             ].get(mode="promise_in_bounds")
             if not _SKIP_CKPT_NAME:
                 g = checkpoint_name(g, "msda_gather")
-            # f32 reduce exactly like ms_deform_attn_core (parity mode keeps
-            # the reference's fp32-island semantics; gather issues dominate)
-            g = g.reshape(B, H, qc, P, 4, D).astype(jnp.float32)
+            g = g.reshape(B, H, qc, P, 4, D)
+            if _EXACT_REDUCE == "f32":
+                # legacy fp32-island reduce: upcasts the gathered rows first
+                g = g.astype(jnp.float32)
+            # in "value" mode both stages consume the gathered bytes in the
+            # value dtype; the level accumulator carries f32 (see _EXACT_REDUCE)
             sampled = jnp.einsum(
-                "bhqpc,bhqpcd->bhqpd", slotw_levels[lvl][:, :, s0:s1], g
+                "bhqpc,bhqpcd->bhqpd",
+                slotw_levels[lvl][:, :, s0:s1].astype(g.dtype), g,
             )
             out_c = out_c + jnp.einsum(
-                "bhqp,bhqpd->bhqd", attn_bh[:, :, s0:s1, lvl], sampled
+                "bhqp,bhqpd->bhqd",
+                attn_bh[:, :, s0:s1, lvl].astype(g.dtype), sampled,
+                preferred_element_type=jnp.float32,
             )
         return out_c
 

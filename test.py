@@ -81,6 +81,25 @@ def main():
         return
 
     model_cfg = Config(args.model_config).model_config
+    if args.torch_checkpoint and (
+        model_cfg.shared_sampling_locations or model_cfg.sampling_groups > 0
+    ):
+        # Reference checkpoints carry per-head sampling-offset heads; the
+        # TPU-tuned hybrid config's shared encoder head has a different shape
+        # and the tolerant merge would silently leave it at random init.
+        # Converted-checkpoint evaluation therefore always runs the
+        # checkpoint-exact per-head sampling path.
+        import dataclasses
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            shared_sampling_locations=False,
+            sampling_groups=0,
+            decoder_sampling_groups=-1,
+        )
+        logger.info(
+            "torch-checkpoint eval: forcing checkpoint-exact per-head "
+            "sampling (config requested the TPU hybrid fast path)"
+        )
     model, _, _, postprocess = build_salience_detr(model_cfg)
 
     loader = DetectionLoader(

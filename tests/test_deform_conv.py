@@ -4,6 +4,7 @@ sigmoid mask at zero logits)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from salience_detr_tpu.models.bricks.deform_conv import DeformConv2dPack
 
@@ -40,19 +41,30 @@ def test_stride_two_shape():
     assert mod.apply(v, x).shape == (1, 4, 4, 4)
 
 
-def test_resnet_stage_with_dcn_forward():
+def test_resnet_stage_with_dcn_structure():
     """stage_with_dcn swaps conv2 for DCNv2 in the configured stages
-    (reference resnet.py:177,133-136)."""
+    (reference resnet.py:177,133-136) — param-tree structure only (fast)."""
+    from salience_detr_tpu.models.backbones.resnet import ResNetBackbone
+
+    m = ResNetBackbone(arch="resnet18", stage_with_dcn=(False, False, True, True))
+    shapes = jax.eval_shape(
+        lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    p = shapes["params"]
+    assert "conv_offset" in p["layer3_0"]["conv2"]
+    assert "conv_mask" in p["layer4_0"]["conv2"]
+    assert "bias" not in p["layer4_0"]["conv2"]  # conv3x3_dcn bias=False
+    assert set(p["layer2_0"]["conv2"].keys()) == {"kernel"}  # plain conv stage
+
+
+@pytest.mark.slow
+def test_resnet_stage_with_dcn_forward():
+    """Full forward through a DCN-staged resnet (compile-heavy — slow lane)."""
     from salience_detr_tpu.models.backbones.resnet import ResNetBackbone
 
     m = ResNetBackbone(arch="resnet18", stage_with_dcn=(False, False, True, True))
     x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 3)), jnp.float32)
     v = m.init(jax.random.PRNGKey(0), x)
-    p = v["params"]
-    assert "conv_offset" in p["layer3_0"]["conv2"]
-    assert "conv_mask" in p["layer4_0"]["conv2"]
-    assert "bias" not in p["layer4_0"]["conv2"]  # conv3x3_dcn bias=False
-    assert set(p["layer2_0"]["conv2"].keys()) == {"kernel"}  # plain conv stage
     outs = m.apply(v, x)
     assert outs[3].shape == (1, 2, 2, 512)
     assert np.isfinite(np.asarray(outs[3])).all()

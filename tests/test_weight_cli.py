@@ -267,8 +267,13 @@ def test_train_cli_pretrained_backbone(synthetic_coco, tmp_path):
 
 @pytest.mark.slow
 def test_eval_cli_torch_checkpoint(synthetic_coco, tmp_path):
-    """Full-model reference-style .pth -> test.py --torch-checkpoint."""
-    cfg = SalienceDETRConfig(**TINY_CFG)
+    """Full-model reference-style .pth -> test.py --torch-checkpoint.
+
+    The synthesized checkpoint carries the reference's per-head (exact)
+    sampling-offset heads, while the model config requests the TPU hybrid
+    fast path — test.py must force checkpoint-exact sampling so every key
+    merges (no silently-skipped offsets head)."""
+    cfg = SalienceDETRConfig(**{**TINY_CFG, "shared_sampling_locations": False})
     variables = _variable_shapes(cfg)
     flat = flatten_variables(variables)
     rules = salience_detr_rules(
@@ -294,4 +299,6 @@ def test_eval_cli_torch_checkpoint(synthetic_coco, tmp_path):
         capture_output=True, text=True, timeout=3000, env=_cpu_env(), cwd=REPO,
     )
     assert result.returncode == 0, result.stderr[-4000:]
-    assert "Converted torch checkpoint" in (result.stdout + result.stderr)
+    out = result.stdout + result.stderr
+    assert "Converted torch checkpoint" in out
+    assert "forcing checkpoint-exact" in out
