@@ -21,6 +21,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The ambient environment may inject a sitecustomize (PYTHONPATH) that
+# registers the axon TPU-tunnel PJRT plugin at interpreter startup and
+# pins jax_platforms=axon via jax.config — which runs BEFORE this
+# conftest, so the env var above is not enough.  With remote compile
+# enabled, every eager op then becomes a network round-trip and the fast
+# test lane takes many minutes of pure wall-clock sleep.  Force the
+# config back to cpu and drop any already-initialized backends so jax
+# re-initializes onto the 8-device virtual CPU platform.
+if jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    from jax.extend import backend as _jex_backend
+
+    _jex_backend.clear_backends()
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU platform, got "
+    f"{jax.default_backend()}"
+)
+
 # XLA:CPU's oneDNN matmuls take reduced-precision (bf16) paths on capable
 # hosts; differential tests compare against fp64/fp32 torch+numpy specs, so
 # pin full-precision accumulation
