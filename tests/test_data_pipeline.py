@@ -202,6 +202,45 @@ class TestCocoDataset:
         assert s["boxes"].shape == (1, 4)
         assert s["labels"].tolist() == [1]
 
+    def test_crowd_annotations_filtered(self, tmp_path):
+        """Crowd anns never reach training samples, and a crowd-only image is
+        dropped by the train filter (ConvertCocoPolysToMask semantics,
+        /root/reference/transforms/convert_coco_polys_to_mask.py +
+        datasets/coco.py:98-133); the evaluator side (crowd gt = ignore) is
+        covered in test_coco_eval.py."""
+        import cv2
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.default_rng(3)
+        images, annotations = [], []
+        for i in range(2):
+            h, w = 70, 90
+            cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                        rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+            images.append({"id": i, "file_name": f"{i}.jpg", "height": h, "width": w})
+        # image 0: one normal + one crowd ann; image 1: crowd-only
+        annotations = [
+            {"id": 1, "image_id": 0, "category_id": 1, "bbox": [5, 5, 20, 20],
+             "area": 400, "iscrowd": 0},
+            {"id": 2, "image_id": 0, "category_id": 1, "bbox": [30, 30, 40, 30],
+             "area": 1200, "iscrowd": 1},
+            {"id": 3, "image_id": 1, "category_id": 1, "bbox": [10, 10, 30, 30],
+             "area": 900, "iscrowd": 1},
+        ]
+        ann = {"images": images, "annotations": annotations,
+               "categories": [{"id": 1, "name": "thing"}]}
+        ann_file = tmp_path / "ann.json"
+        ann_file.write_text(json.dumps(ann))
+
+        ds_train = CocoDetection(str(img_dir), str(ann_file), train=True)
+        assert len(ds_train) == 1  # crowd-only image dropped
+        s = ds_train[0]
+        assert s["boxes"].shape == (1, 4)  # crowd ann dropped from image 0
+        np.testing.assert_allclose(s["boxes"][0], [5, 5, 25, 25])
+        # eval keeps both images (crowd handling is the evaluator's job)
+        assert len(CocoDetection(str(img_dir), str(ann_file), train=False)) == 2
+
     def test_loader_deterministic(self, dataset_dir):
         from salience_detr_tpu.data.transforms import PRESETS
 
