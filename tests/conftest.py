@@ -8,8 +8,30 @@ import sys
 # force CPU: the ambient environment pins JAX_PLATFORMS=axon (the TPU
 # tunnel), and tests must run on the 8-device virtual CPU mesh
 os.environ["JAX_PLATFORMS"] = "cpu"
-# persistent compilation cache makes repeated test runs compile-free
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# persistent compilation cache makes repeated test runs compile-free.
+# The directory is keyed by the host CPU's feature fingerprint: XLA:CPU
+# stores AOT machine code and jax's cache key ignores host CPU features,
+# so after a VM live-migration a fixed path would feed this host code
+# compiled for another one (warned as potential SIGILL; observed once as a
+# hard futex deadlock in a multi-device step under __graft_entry__).
+def _cpu_fingerprint():
+    import hashlib
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_test_cache_{_cpu_fingerprint()}"
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
