@@ -60,10 +60,19 @@ def main():
         batch_stats=variables.get("batch_stats", {}), opt_state=None,
     )
     if args.checkpoint:
+        # templateless weight restore: a training checkpoint carries opt_state
+        # and the train-only denoising_generator params, which this eval-mode
+        # template lacks — restore(template) would reject the structure
+        # mismatch (same path as test.py:145-153)
         mgr = CheckpointManager(args.checkpoint)
-        restored = mgr.restore(jax.device_get(state))
+        restored = mgr.restore_weights()
         if restored is not None:
-            state = restored
+            state = TrainState(
+                step=jnp.asarray(restored["step"], jnp.int32),
+                params=restored["params"], frozen=restored["frozen"],
+                batch_stats=restored["batch_stats"], opt_state=None,
+            )
+            logger.info(f"Restored checkpoint from {args.checkpoint}")
 
     @jax.jit
     def forward(images, image_sizes, orig_sizes):
