@@ -98,7 +98,11 @@ def main():
             model_cfg=model_cfg, canvas=tuple(CANVAS)))
 
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    # prepend (not replace): the ambient PYTHONPATH can carry the TPU-tunnel
+    # sitecustomize that registers the 'axon' PJRT plugin — dropping it while
+    # JAX_PLATFORMS=axon persists leaves the child with no usable backend
+    ambient = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + (os.pathsep + ambient if ambient else "")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
     r = subprocess.run(
