@@ -53,20 +53,40 @@ _REDUCE_MODE = os.environ.get("MSDA_REDUCE", "einsum")
 _EXACT_REDUCE = os.environ.get("MSDA_EXACT_REDUCE", "value")
 
 # HBM budget for the materialized gathered corner rows per query chunk.
-# 1.5 GB is the known-good batch-4 hot-layer working set (ROADMAP r3): the
-# largest that never OOMed alongside the rest of the program's live set
-# (batch-8 inference OOMed unchunked; exact-quad train OOMed unchunked).
+# 1.5 GB is the known-good batch-4 hot-layer working set for the SHARED core
+# (ROADMAP r3): the largest that never OOMed alongside the rest of the
+# program's live set (batch-8 inference OOMed unchunked).  The per-head
+# quad/grouped cores default to a smaller 0.5 GB budget: their custom-VJP
+# backward keeps ~3x the forward chunk live (gathered rows + their cotangent
+# + the per-level quad scatter target), and 1.5 GB OOMed the exact-mode
+# B=4 800x1344 TRAIN step on a 16 GB v5e while 0.5 GB trains at 2.86 img/s
+# with bit-identical inference throughput (14.85 vs 14.80 img/s measured —
+# the exact path is gather-issue-bound, not chunk-bound).
 _GATHER_BUDGET_BYTES = float(os.environ.get("MSDA_GATHER_BUDGET_BYTES", 1.5e9))
+# MSDA_GATHER_BUDGET_BYTES overrides both budgets (one knob for dryruns);
+# MSDA_QUAD_GATHER_BUDGET_BYTES pins the quad/grouped budget independently.
+_QUAD_GATHER_BUDGET_BYTES = float(
+    os.environ.get(
+        "MSDA_QUAD_GATHER_BUDGET_BYTES",
+        os.environ.get("MSDA_GATHER_BUDGET_BYTES", 5e8),
+    )
+)
 
 
-def derive_q_chunk(B: int, Q: int, L: int, P: int, C: int, itemsize: int) -> int:
+def derive_q_chunk(
+    B: int, Q: int, L: int, P: int, C: int, itemsize: int,
+    budget: float = None,
+) -> int:
     """Largest per-batch query-chunk size whose gathered corner buffer
     (B * Qc rows of L*4*P corner items, C channels each, ``itemsize`` bytes)
-    stays within _GATHER_BUDGET_BYTES.  Shared and quad-packed cores gather
-    the same total bytes per query (quad packs the 4 corners of each of the
-    L*P points into one 4*C-wide row), so one formula serves both."""
+    stays within ``budget`` (default _GATHER_BUDGET_BYTES).  Shared and
+    quad-packed cores gather the same total bytes per query (quad packs the
+    4 corners of each of the L*P points into one 4*C-wide row), so one
+    formula serves both; only the budget differs (see above)."""
+    if budget is None:
+        budget = _GATHER_BUDGET_BYTES
     per_q_bytes = L * 4 * P * C * itemsize
-    max_bq = max(int(_GATHER_BUDGET_BYTES // per_q_bytes), 1)
+    max_bq = max(int(budget // per_q_bytes), 1)
     return max(min(Q, max_bq // max(B, 1)), 1)
 
 
@@ -277,7 +297,10 @@ def ms_deform_attn_core_quad(
             )
         return out_c
 
-    q_chunk = derive_q_chunk(B, Q, L, P, H * D, jnp.dtype(compute_dtype).itemsize)
+    q_chunk = derive_q_chunk(
+        B, Q, L, P, H * D, jnp.dtype(compute_dtype).itemsize,
+        budget=_QUAD_GATHER_BUDGET_BYTES,
+    )
     if Q <= q_chunk:
         out = run_chunk(0, Q)
     else:
@@ -430,7 +453,10 @@ def ms_deform_attn_core_grouped(
             )
         return out_c
 
-    q_chunk = derive_q_chunk(B, Q, L, P, C, jnp.dtype(compute_dtype).itemsize)
+    q_chunk = derive_q_chunk(
+        B, Q, L, P, C, jnp.dtype(compute_dtype).itemsize,
+        budget=_QUAD_GATHER_BUDGET_BYTES,
+    )
     if Q <= q_chunk:
         out = run_chunk(0, Q)
     else:

@@ -1,14 +1,16 @@
-"""Sinusoidal position embeddings.
+"""Position embeddings: sinusoidal and learned.
 
 Numerical spec: /root/reference/models/bricks/position_encoding.py
-(PositionEmbeddingSine at :9, get_sine_pos_embed at :105).  Outputs are
-channel-last (NHWC) — the TPU-native layout — where the reference emits NCHW.
+(PositionEmbeddingSine at :9, PositionEmbeddingLearned at :68,
+get_sine_pos_embed at :105).  Outputs are channel-last (NHWC) — the
+TPU-native layout — where the reference emits NCHW.
 """
 
 from __future__ import annotations
 
 import math
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 
@@ -54,6 +56,49 @@ def sine_position_embedding(
     pos_x = _interleave_sin_cos(x_embed[..., None] / dim_t)
     pos_y = _interleave_sin_cos(y_embed[..., None] / dim_t)
     return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
+class LearnedPositionEmbedding(nn.Module):
+    """Absolute learned 2D position embedding.
+
+    Spec: /root/reference/models/bricks/position_encoding.py:68-95
+    (PositionEmbeddingLearned) — one row and one column embedding table of
+    ``num_embeddings`` slots, uniform-initialized; position (i, j) gets
+    concat(col_embed[j], row_embed[i]) — note the reference's (x, y) channel
+    order here, the opposite of the sine embedding's (y, x).  Unused by the
+    shipped Salience-DETR configs (they use sine), provided for parity.
+
+    Call: padding_mask (B, H, W) bool -> (B, H, W, 2*num_pos_feats) float32.
+    H and W must not exceed ``num_embeddings`` (the reference indexes the
+    tables directly and would fail the same way).
+    """
+
+    num_embeddings: int = 50
+    num_pos_feats: int = 256
+
+    @nn.compact
+    def __call__(self, padding_mask: jnp.ndarray) -> jnp.ndarray:
+        B, h, w = padding_mask.shape
+        row = nn.Embed(
+            self.num_embeddings,
+            self.num_pos_feats,
+            embedding_init=nn.initializers.uniform(scale=1.0),
+            name="row_embed",
+        )(jnp.arange(h))  # (h, F)
+        col = nn.Embed(
+            self.num_embeddings,
+            self.num_pos_feats,
+            embedding_init=nn.initializers.uniform(scale=1.0),
+            name="col_embed",
+        )(jnp.arange(w))  # (w, F)
+        pos = jnp.concatenate(
+            [
+                jnp.broadcast_to(col[None, :, :], (h, w, self.num_pos_feats)),
+                jnp.broadcast_to(row[:, None, :], (h, w, self.num_pos_feats)),
+            ],
+            axis=-1,
+        )
+        return jnp.broadcast_to(pos[None], (B, h, w, 2 * self.num_pos_feats))
 
 
 def get_sine_pos_embed(

@@ -428,7 +428,7 @@ class TestGroupedCore:
         value, locs_g, w = self._inputs(61, G=2)
         args = (jnp.asarray(value), SHAPES, jnp.asarray(locs_g), jnp.asarray(w), 4)
         full = np.asarray(da.ms_deform_attn_core_grouped(*args))
-        monkeypatch.setattr(da, "_GATHER_BUDGET_BYTES", 4096.0)
+        monkeypatch.setattr(da, "_QUAD_GATHER_BUDGET_BYTES", 4096.0)
         chunked = np.asarray(da.ms_deform_attn_core_grouped(*args))
         np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-6)
 
@@ -529,8 +529,9 @@ class TestDerivedChunking:
         # budget for ~3 queries per chunk at these shapes
         B, Q, L, P = 2, 7, len(SHAPES), 3
         C, it = 8, 4
-        monkeypatch.setattr(da, "_GATHER_BUDGET_BYTES", float(B * 3 * L * 4 * P * C * it))
-        assert da.derive_q_chunk(B, Q, L, P, C, it) == 3
+        budget = float(B * 3 * L * 4 * P * C * it)
+        monkeypatch.setattr(da, "_QUAD_GATHER_BUDGET_BYTES", budget)
+        assert da.derive_q_chunk(B, Q, L, P, C, it, budget=budget) == 3
         got = np.asarray(da.ms_deform_attn_core_quad(args[0], SHAPES, args[1], args[2]))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
@@ -547,7 +548,9 @@ class TestDerivedChunking:
             lambda v, l, a: loss(ms_deform_attn_core, v, l, a), (0, 1, 2)
         )(*args)
         B, L, P, C, it = 2, len(SHAPES), 3, 8, 4
-        monkeypatch.setattr(da, "_GATHER_BUDGET_BYTES", float(B * 2 * L * 4 * P * C * it))
+        monkeypatch.setattr(
+            da, "_QUAD_GATHER_BUDGET_BYTES", float(B * 2 * L * 4 * P * C * it)
+        )
         g_quad = jax.grad(
             lambda v, l, a: loss(da.ms_deform_attn_core_quad, v, l, a), (0, 1, 2)
         )(*args)

@@ -132,6 +132,39 @@ class TestPosEncoding:
         for i, (h, w) in enumerate(valid):
             np.testing.assert_allclose(got[i, :h, :w], want[i, :h, :w], atol=1e-4)
 
+    def test_learned_embedding_vs_torch(self):
+        # independent torch expression of PositionEmbeddingLearned.forward
+        # (reference position_encoding.py:68-95): position (i, j) is
+        # concat(col_embed[j], row_embed[i]) broadcast over the batch
+        rng = np.random.default_rng(7)
+        Bn, H, W, npf, NE = 2, 5, 6, 8, 50
+        mask = np.zeros((Bn, H, W), bool)
+
+        mod = PE.LearnedPositionEmbedding(num_embeddings=NE, num_pos_feats=npf)
+        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(mask))
+        row = np.asarray(variables["params"]["row_embed"]["embedding"])
+        col = np.asarray(variables["params"]["col_embed"]["embedding"])
+        assert row.shape == col.shape == (NE, npf)
+
+        x_emb = torch.tensor(col)[:W]  # col_embed(arange(w))
+        y_emb = torch.tensor(row)[:H]  # row_embed(arange(h))
+        want = (
+            torch.cat(
+                [
+                    x_emb.unsqueeze(0).repeat(H, 1, 1),
+                    y_emb.unsqueeze(1).repeat(1, W, 1),
+                ],
+                dim=-1,
+            )
+            .unsqueeze(0)
+            .repeat(Bn, 1, 1, 1)
+            .numpy()
+        )  # NHWC (the reference permutes to NCHW afterwards)
+
+        got = np.asarray(mod.apply(variables, jnp.asarray(mask)))
+        assert got.shape == (Bn, H, W, 2 * npf)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
     def test_get_sine_pos_embed_exchange(self):
         rng = np.random.default_rng(6)
         pos = rng.uniform(size=(3, 5, 4)).astype(np.float32)
