@@ -24,12 +24,19 @@ from salience_detr_tpu.ops.deform_attn import (
     ms_deform_attn_core_grouped,
     ms_deform_attn_core_quad,
     ms_deform_attn_core_shared,
+    ms_deform_attn_core_shared_q8,
 )
 
 # The quad-packed exact core is numerically identical to ms_deform_attn_core
 # (differential-tested) and ~4x faster on v5e (issue-bound per-head gathers);
 # kill-switch for A/B measurement.
 _EXACT_QUAD = os.environ.get("MSDA_EXACT_QUAD", "1") == "1"
+
+# Eval-time gather quantization for the HEAD-SHARED core only ("int8" |
+# "none"): gathers int8 quad-packed rows — half the gathered bytes of the
+# bandwidth-bound encoder sampling (see ms_deform_attn_core_shared_q8).
+# Training and the exact/grouped per-head paths are never quantized.
+_GATHER_QUANT = os.environ.get("MSDA_GATHER_QUANT", "none")
 
 
 def _offset_bias_init(num_heads: int, num_levels: int, num_points: int):
@@ -143,12 +150,18 @@ class MultiScaleDeformableAttention(nn.Module):
         )  # (B, Q, offset_heads, L, P, 2)
 
         if G == 1:
-            # quad-packed backward scatter in training only (the custom-vjp
-            # wrapper costs eval ~3% for a backward-only win: +18% train step)
-            out = ms_deform_attn_core_shared(
-                value, spatial_shapes, locations[:, :, 0], weights, H,
-                quad_scatter=train,
-            )
+            if not train and _GATHER_QUANT == "int8":
+                out = ms_deform_attn_core_shared_q8(
+                    value, spatial_shapes, locations[:, :, 0], weights, H
+                )
+            else:
+                # quad-packed backward scatter in training only (the
+                # custom-vjp wrapper costs eval ~3% for a backward-only win:
+                # +18% train step)
+                out = ms_deform_attn_core_shared(
+                    value, spatial_shapes, locations[:, :, 0], weights, H,
+                    quad_scatter=train,
+                )
         elif G < H:
             out = ms_deform_attn_core_grouped(
                 value, spatial_shapes, locations, weights, H

@@ -72,6 +72,13 @@ _QUAD_GATHER_BUDGET_BYTES = float(
     )
 )
 
+# Stage-1 (slot-weight) reduce formulation for the INT8 quad-gather eval core
+# (ms_deform_attn_core_shared_q8): "einsum" lowers it as a dot_general over
+# the int8 rows (XLA inserts the int8->bf16 convert, usually fused into the
+# dot operand stream); "unrolled" consumes the rows slot-by-slot with
+# elementwise multiply-adds.  A/B knob, settled on-chip like MSDA_REDUCE.
+_Q8_REDUCE = os.environ.get("MSDA_Q8_REDUCE", "einsum")
+
 
 def derive_q_chunk(
     B: int, Q: int, L: int, P: int, C: int, itemsize: int,
@@ -830,6 +837,158 @@ def ms_deform_attn_core_shared(
         for s0 in range(0, Q, q_chunk):
             outs.append(run_chunk(s0, min(s0 + q_chunk, Q)))
         out = jnp.concatenate(outs, axis=1)
+    return out.astype(compute_dtype)
+
+
+def ms_deform_attn_core_shared_q8(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    num_heads: int,
+) -> jnp.ndarray:
+    """Head-shared deformable attention over an INT8 quad-packed value table
+    (inference only).
+
+    The head-shared core is bandwidth-bound on its gathered corner rows
+    (ROADMAP r3 trace: ~29.5 ms of gathers + corner reduces per step at B=4,
+    512-byte bf16 rows), so the remaining lever is gathering FEWER BYTES.
+    Two changes relative to :func:`ms_deform_attn_core_shared`, both
+    byte-reduction only — corners, bilinear weights, and attention weights
+    are identical:
+
+    * the value tensor is quantized once per call to symmetric per-channel
+      int8 (scale = per-channel absmax / 127).  Per-channel scales commute
+      through both weighted reductions (corner weights and attention weights
+      multiply rows channel-wise), so dequantization is ONE multiply by the
+      (C,) scale vector on the collapsed (B, Q, C) output — no per-row
+      dequant pass over the gathered gigabytes;
+    * each sampling point's 2x2 bilinear neighbourhood is fetched as ONE
+      quad-packed (4*C)-wide int8 row (1 KB at C=256) instead of four C-wide
+      bf16 rows (4 x 512 B): half the gathered bytes AND 4x fewer gather
+      issues.  Quad addressing (clipped base + per-slot TRUE-corner weight
+      re-derivation, zero-padding semantics preserved exactly) is the scheme
+      proven in :func:`ms_deform_attn_core_quad`.
+
+    Quantization error is bounded by absmax/254 per channel (~0.4% of the
+    channel's max), applied to the ENCODER value stream only — callers keep
+    the exact bf16 path for training and for checkpoint-exact eval
+    (`MSDA_GATHER_QUANT=none`, and test.py --torch-checkpoint always runs
+    exact mode).  Differential-tested in tests/test_deform_attn.py: lossless
+    on integer-valued channels (scale 1.0) and within the int8 error bound
+    on random inputs.
+
+    value: (B, S, C) channel-packed, padding already zeroed.
+    sampling_locations: (B, Q, L, P, 2) normalized, shared across heads.
+    attention_weights: (B, Q, H, L, P) softmaxed over L*P.
+    returns: (B, Q, C).
+    """
+    B, S, C = value.shape
+    _, Q, L, P, _ = sampling_locations.shape
+    H = num_heads
+    D = C // H
+    compute_dtype = value.dtype
+
+    # symmetric per-channel int8: zeros stay exactly zero (padding rows and
+    # the wrapped quad slots keep grid_sample zero-padding semantics)
+    vf = value.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(vf), axis=(0, 1)) / 127.0  # (C,)
+    scale = jnp.maximum(scale, 1e-20)
+    vq = jnp.clip(jnp.round(vf / scale), -127.0, 127.0).astype(jnp.int8)
+
+    # one flat quad table over all levels: row i = concat(v[i], v[i+1],
+    # v[i+w], v[i+w+1]) with in-level rolls (wrapped rows are fetched but
+    # receive zero slot weight)
+    quad_segs = []
+    idx_parts = []  # (B, Q, P) per level: level-local clipped base
+    slotw_parts = []  # (B, Q, P, 4) f32 per level
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        seg = jax.lax.slice_in_dim(vq, start, start + h * w, axis=1)
+        quad_segs.append(
+            jnp.concatenate(
+                [
+                    seg,
+                    jnp.roll(seg, -1, axis=1),
+                    jnp.roll(seg, -w, axis=1),
+                    jnp.roll(seg, -(w + 1), axis=1),
+                ],
+                axis=-1,
+            )
+        )  # (B, h*w, 4C)
+
+        loc = sampling_locations[:, :, lvl].astype(jnp.float32)  # (B, Q, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        bx = jnp.clip(x0i, 0, max(w - 2, 0))
+        by = jnp.clip(y0i, 0, max(h - 2, 0))
+        idx_parts.append(start + by * w + bx)
+
+        slot_ws = []
+        for sy in (0, 1):
+            py = by + sy
+            wy = jnp.where(py == y0i, 1.0 - fy, jnp.where(py == y0i + 1, fy, 0.0))
+            wy = jnp.where(py < h, wy, 0.0)
+            for sx in (0, 1):
+                px = bx + sx
+                wx = jnp.where(px == x0i, 1.0 - fx, jnp.where(px == x0i + 1, fx, 0.0))
+                wx = jnp.where(px < w, wx, 0.0)
+                slot_ws.append(wx * wy)
+        slotw_parts.append(jnp.stack(slot_ws, axis=-1))
+        start += h * w
+
+    quad_flat = jnp.concatenate(quad_segs, axis=1).reshape(B * S, 4 * C)
+    bbase = (jnp.arange(B, dtype=jnp.int32) * S)[:, None, None, None]
+    idx_all = jnp.stack(idx_parts, 2) + bbase  # (B, Q, L, P) flat incl. batch
+    slotw_all = jnp.stack(slotw_parts, 2)  # (B, Q, L, P, 4)
+    attn_t = attention_weights.astype(jnp.float32)  # (B, Q, H, L, P)
+
+    def run_chunk(s0, s1):
+        qc = s1 - s0
+        g = quad_flat.at[idx_all[:, s0:s1].reshape(-1)].get(
+            mode="promise_in_bounds"
+        )
+        g = g.reshape(B, qc, L, P, 4, C)
+        sw = slotw_all[:, s0:s1]  # (B, qc, L, P, 4)
+        if _Q8_REDUCE == "unrolled":
+            sampled = None
+            for s in range(4):
+                term = g[:, :, :, :, s].astype(jnp.float32) * sw[..., s][..., None]
+                sampled = term if sampled is None else sampled + term
+        else:
+            sampled = jnp.einsum(
+                "bqlps,bqlpsc->bqlpc",
+                sw.astype(compute_dtype),
+                g.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+        sampled = sampled.reshape(B, qc, L, P, H, D)
+        out_c = jnp.einsum(
+            "bqhlp,bqlphd->bqhd",
+            attn_t[:, s0:s1].astype(compute_dtype),
+            sampled.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return out_c.reshape(B, qc, C)
+
+    # same per-query gathered bytes as the quad-packed bf16 layout at half
+    # the itemsize; reuse the shared-core HBM budget
+    q_chunk = derive_q_chunk(B, Q, L, P, C, 1)
+    if Q <= q_chunk:
+        out = run_chunk(0, Q)
+    else:
+        out = jnp.concatenate(
+            [run_chunk(s0, min(s0 + q_chunk, Q)) for s0 in range(0, Q, q_chunk)],
+            axis=1,
+        )
+    # per-channel dequant once on the collapsed output
+    out = out * scale[None, None, :]
     return out.astype(compute_dtype)
 
 

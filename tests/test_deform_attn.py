@@ -221,6 +221,130 @@ class TestQuadCore:
             np.testing.assert_allclose(np.asarray(gq), np.asarray(ge), rtol=1e-4, atol=1e-5)
 
 
+class TestQ8Core:
+    """ms_deform_attn_core_shared_q8 (int8 quad-gather eval core): identical
+    addressing/weights to the head-shared core, with per-channel symmetric
+    int8 value quantization as the ONLY numerical difference.  On
+    integer-valued channels with absmax 127 the quantization is lossless, so
+    the core must match the f32 shared core exactly — that isolates the
+    addressing (quad base clipping, slot weight re-derivation, level/batch
+    offsets) from the quantization error."""
+
+    @staticmethod
+    def _shared_inputs(seed, B=2, Q=7, H=2, D=4, P=3, shapes=None,
+                       loc_range=(-0.2, 1.2), integer_value=False):
+        shapes = shapes or SHAPES
+        s = sum(h * w for h, w in shapes)
+        rng = np.random.default_rng(seed)
+        C = H * D
+        if integer_value:
+            value = rng.integers(-127, 128, size=(B, s, C)).astype(np.float32)
+            value[0, 0, :] = 127.0  # per-channel absmax exactly 127 -> scale 1.0
+        else:
+            value = rng.normal(size=(B, s, C)).astype(np.float32)
+        locs = rng.uniform(*loc_range, size=(B, Q, len(shapes), P, 2)).astype(np.float32)
+        w = rng.uniform(size=(B, Q, H, len(shapes), P)).astype(np.float32)
+        w = w / w.sum(axis=(-2, -1), keepdims=True)
+        return value, locs, w
+
+    def test_lossless_matches_shared_core(self):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_shared_q8
+
+        H = 2
+        value, locs, w = self._shared_inputs(21, H=H, integer_value=True)
+        a = np.asarray(ms_deform_attn_core_shared(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w), H))
+        b = np.asarray(ms_deform_attn_core_shared_q8(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w), H))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+    def test_lossless_matches_numpy_spec_at_borders(self):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_shared_q8
+
+        # stress the quad base clamping at every border with lossless
+        # quantization: semantics must match grid_sample zero padding exactly
+        B, Q, H, D, P = 2, 9, 2, 4, 3
+        value, _, w = self._shared_inputs(22, B=B, Q=Q, H=H, D=D, P=P,
+                                          integer_value=True)
+        rng = np.random.default_rng(23)
+        locs = rng.uniform(-0.5, 1.5, size=(B, Q, len(SHAPES), P, 2)).astype(np.float32)
+        locs[0, 0] = -3.0   # fully outside
+        locs[0, 1] = 0.999  # bottom-right corner pixel
+        locs[0, 2] = 0.001  # top-left corner pixel
+        got = np.asarray(ms_deform_attn_core_shared_q8(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w), H))
+        locs_full = np.broadcast_to(
+            locs[:, :, None], (B, Q, H, len(SHAPES), P, 2)
+        ).transpose(0, 1, 2, 3, 4, 5)
+        want = deform_attn_numpy_spec(
+            value.reshape(B, -1, H, D), SHAPES, locs_full, w
+        ).reshape(B, Q, H * D)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_single_row_and_column_levels(self):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_shared_q8
+
+        shapes = [(1, 5), (3, 1), (1, 1)]
+        H, D, P = 2, 4, 2
+        value, locs, w = self._shared_inputs(24, Q=5, H=H, D=D, P=P,
+                                             shapes=shapes, integer_value=True)
+        got = np.asarray(ms_deform_attn_core_shared_q8(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w), H))
+        B = value.shape[0]
+        locs_full = np.broadcast_to(
+            locs[:, :, None], (B, 5, H, len(shapes), P, 2))
+        want = deform_attn_numpy_spec(
+            value.reshape(B, -1, H, D), shapes, locs_full, w
+        ).reshape(B, 5, H * D)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_quantization_error_bound(self):
+        from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_shared_q8
+
+        # random (non-integer) values: the output error per channel is bounded
+        # by the rounding error scale[c]/2 (corner weights sum to <= 1 per
+        # point, attention weights sum to 1 over L*P)
+        H = 2
+        value, locs, w = self._shared_inputs(25, H=H, integer_value=False)
+        a = np.asarray(ms_deform_attn_core_shared(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w), H))
+        b = np.asarray(ms_deform_attn_core_shared_q8(
+            jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w), H))
+        scale = np.abs(value).max(axis=(0, 1)) / 127.0  # (C,)
+        bound = scale[None, None, :] * 0.5 + 1e-5
+        assert np.all(np.abs(b - a) <= bound), np.abs(b - a).max()
+
+    def test_module_uses_q8_in_eval_when_enabled(self, monkeypatch):
+        """MSDA_GATHER_QUANT=int8 routes the shared-mode module through the
+        q8 core in eval (output differs from bf16-exact by at most the int8
+        bound) and NEVER in training."""
+        import salience_detr_tpu.models.bricks.attention as attn_mod
+
+        rng = np.random.default_rng(26)
+        B, Q, C = 1, 4, 16
+        s = sum(h * w for h, w in SHAPES)
+        module = attn_mod.MultiScaleDeformableAttention(
+            embed_dim=C, num_levels=len(SHAPES), num_heads=2, num_points=2,
+            shared_locations=True,
+        )
+        query = jnp.asarray(rng.normal(size=(B, Q, C)).astype(np.float32))
+        ref = jnp.asarray(rng.uniform(0.2, 0.8, (B, Q, len(SHAPES), 2)).astype(np.float32))
+        value = jnp.asarray(rng.normal(size=(B, s, C)).astype(np.float32))
+        params = module.init(jax.random.PRNGKey(0), query, ref, value, SHAPES)
+        out_exact = module.apply(params, query, ref, value, SHAPES)
+
+        monkeypatch.setattr(attn_mod, "_GATHER_QUANT", "int8")
+        out_q8 = module.apply(params, query, ref, value, SHAPES)
+        out_train = module.apply(params, query, ref, value, SHAPES, train=True)
+        # train path must be bit-identical to the unquantized eval path
+        # (quad_scatter only changes the backward)
+        np.testing.assert_allclose(
+            np.asarray(out_train), np.asarray(out_exact), rtol=1e-5, atol=1e-6)
+        # q8 eval path close to exact but not (generically) identical
+        np.testing.assert_allclose(
+            np.asarray(out_q8), np.asarray(out_exact), rtol=0.05, atol=0.05)
+
+
 class TestQuadScatterGrad:
     """The quad-packed backward scatter (MSDA_QUAD_SCATTER=1, the default)
     must produce gradients identical to the plain autodiff backward
