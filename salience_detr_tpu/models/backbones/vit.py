@@ -31,28 +31,31 @@ ARCH_SETTINGS: Dict[str, Dict] = {
     "vit_h": dict(embed_dim=1280, depth=32, num_heads=16, window=14,
                   global_idx=(7, 15, 23, 31), patch=14, pos_grid=16),
     # EVA-02 (reference vit.py:811-875): rope + SwiGLU; `window_idx` lists the
-    # WINDOWED blocks (the registry's window_block_indexes), the rest global
+    # WINDOWED blocks (the registry's window_block_indexes), the rest global.
+    # pos_grid=14: EVA-02 checkpoints pretrain at 224 with patch 16, so the
+    # learned pos table is (1, 14*14+1, C) (reference vit.py:385) — the model
+    # param must be (14, 14, C) for the converted table to load shape-exact.
     "eva_02_vit_b_4attn_1024": dict(
         embed_dim=768, depth=12, num_heads=12, mlp_dim=2048, window=16,
         window_idx=(0, 1, 3, 4, 6, 7, 9, 10), rope=True, swiglu=True,
-        drop_path=0.1),
+        drop_path=0.1, pos_grid=14),
     "eva_02_vit_b_6attn_win32_1536": dict(
         embed_dim=768, depth=12, num_heads=12, mlp_dim=2048, window=32,
         window_idx=(0, 2, 4, 6, 8, 10), rope=True, swiglu=True,
-        drop_path=0.1),
+        drop_path=0.1, pos_grid=14),
     "eva_02_vit_l_4attn_1024": dict(
         embed_dim=1024, depth=24, num_heads=16, mlp_dim=2730, window=16,
         window_idx=(0, 1, 2, 3, 4, 6, 7, 8, 9, 10, 12, 13, 14, 15, 16, 18,
                     19, 20, 21, 22),
-        rope=True, swiglu=True, drop_path=0.4),
+        rope=True, swiglu=True, drop_path=0.4, pos_grid=14),
     "eva_02_vit_l_8attn_1536": dict(
         embed_dim=1024, depth=24, num_heads=16, mlp_dim=2730, window=16,
         window_idx=(0, 1, 3, 4, 6, 7, 9, 10, 12, 13, 15, 16, 18, 19, 21, 22),
-        rope=True, swiglu=True, drop_path=0.3),
+        rope=True, swiglu=True, drop_path=0.3, pos_grid=14),
     "eva_02_vit_l_8attn_win32_1536": dict(
         embed_dim=1024, depth=24, num_heads=16, mlp_dim=2730, window=32,
         window_idx=(0, 1, 3, 4, 6, 7, 9, 10, 12, 13, 15, 16, 18, 19, 21, 22),
-        rope=True, swiglu=True, drop_path=0.4),
+        rope=True, swiglu=True, drop_path=0.4, pos_grid=14),
 }
 
 

@@ -35,8 +35,10 @@ _EXACT_QUAD = os.environ.get("MSDA_EXACT_QUAD", "1") == "1"
 # Eval-time gather quantization for the HEAD-SHARED core only ("int8" |
 # "none"): gathers int8 quad-packed rows — half the gathered bytes of the
 # bandwidth-bound encoder sampling (see ms_deform_attn_core_shared_q8).
-# Training and the exact/grouped per-head paths are never quantized.
-_GATHER_QUANT = os.environ.get("MSDA_GATHER_QUANT", "none")
+# Training and the exact/grouped per-head paths are never quantized.  Read at
+# trace time (not import time) so harnesses can A/B eval programs in-process.
+def _gather_quant() -> str:
+    return os.environ.get("MSDA_GATHER_QUANT", "none")
 
 
 def _offset_bias_init(num_heads: int, num_levels: int, num_points: int):
@@ -150,7 +152,7 @@ class MultiScaleDeformableAttention(nn.Module):
         )  # (B, Q, offset_heads, L, P, 2)
 
         if G == 1:
-            if not train and _GATHER_QUANT == "int8":
+            if not train and _gather_quant() == "int8":
                 out = ms_deform_attn_core_shared_q8(
                     value, spatial_shapes, locations[:, :, 0], weights, H
                 )

@@ -5,8 +5,10 @@ Two variants:
 1. ``grid_nms_topk`` — the exact on-device equivalent of the reference's
    ``nms_on_topk_index`` (/root/reference/models/bricks/
    salience_transformer.py:249-295).  The reference builds degenerate 2x2
-   boxes (x-1, y-1, x+1, y+1) on the feature grid and runs class-batched NMS
-   with iou=0.3 per (image, level).  For integer grid coordinates the IoU of
+   boxes (x-1, y-1, x+1, y+1) on the feature grid and runs NMS batched per
+   (image, level) with iou=0.3 (the batched_nms idx at
+   salience_transformer.py:274-279 is image_id * num_levels + level — no
+   class term).  For integer grid coordinates the IoU of
    two such boxes exceeds 0.3 **iff** they are 4-neighbours on the same level
    grid (overlap 2 -> IoU 1/3; diagonal overlap 1 -> IoU 1/7).  Greedy NMS
    therefore reduces to a fixpoint over the 4-neighbour conflict graph, which

@@ -82,7 +82,9 @@ def main():
 
     model_cfg = Config(args.model_config).model_config
     if args.torch_checkpoint and (
-        model_cfg.shared_sampling_locations or model_cfg.sampling_groups > 0
+        model_cfg.shared_sampling_locations
+        or model_cfg.sampling_groups > 0
+        or model_cfg.decoder_sampling_groups >= 1
     ):
         # Reference checkpoints carry per-head sampling-offset heads; the
         # TPU-tuned hybrid config's shared encoder head has a different shape

@@ -333,7 +333,7 @@ class TestQ8Core:
         params = module.init(jax.random.PRNGKey(0), query, ref, value, SHAPES)
         out_exact = module.apply(params, query, ref, value, SHAPES)
 
-        monkeypatch.setattr(attn_mod, "_GATHER_QUANT", "int8")
+        monkeypatch.setenv("MSDA_GATHER_QUANT", "int8")
         out_q8 = module.apply(params, query, ref, value, SHAPES)
         out_train = module.apply(params, query, ref, value, SHAPES, train=True)
         # train path must be bit-identical to the unquantized eval path

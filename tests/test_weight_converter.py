@@ -110,6 +110,45 @@ def test_vit_pos_transform_strips_class_token():
     np.testing.assert_array_equal(out2[0, 0], table[0, 1])
 
 
+def test_eva_pos_table_applies_shape_exact():
+    """EVA-02 pretrains at 224/patch16, so real checkpoints carry a
+    (1, 14*14+1, C) learned pos table (reference vit.py:385).  The model's
+    pos_embed param must be (14, 14, C) (ARCH_SETTINGS pos_grid=14) so the
+    converted table APPLIES rather than being silently dropped by the
+    tolerant merge (regression: ADVICE r4 — eva archs fell back to the
+    64x64 interpolation grid and lost the pretrained table)."""
+    from salience_detr_tpu.models.backbones.vit import VisionTransformerBackbone
+    from salience_detr_tpu.utils.weight_converter import (
+        _apply_converted,
+        _vit_rules,
+        convert_state_dict,
+    )
+
+    arch = "eva_02_vit_b_4attn_1024"
+    bb = VisionTransformerBackbone(arch=arch, return_indices=(1, 2, 3))
+    shapes = jax.eval_shape(
+        lambda: bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    )
+    variables = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
+    assert variables["params"]["pos_embed"].shape == (14, 14, 768)
+
+    # realistically-shaped EVA pos table: class token + 14x14 grid
+    table = np.random.default_rng(0).normal(size=(1, 14 * 14 + 1, 768)).astype(np.float32)
+    torch_state = {"backbone.0.encoder.pos_embedding": table}
+    # strip the detector prefix mismatch: rules expect the full-model dst
+    # namespace, our variables are the bare backbone subtree
+    rules = [
+        (src, dst.replace("params/backbone/", "params/"), kind)
+        for src, dst, kind in _vit_rules(arch, (1, 2, 3))
+        if dst == "params/backbone/pos_embed"
+    ]
+    flat_new, missing, unused = convert_state_dict(torch_state, rules)
+    merged = _apply_converted(variables, flat_new, missing, unused)
+    np.testing.assert_array_equal(
+        merged["params"]["pos_embed"], table[0, 1:].reshape(14, 14, 768)
+    )
+
+
 def test_resnext_backbone_rules_cover_backbone_tree():
     """Grouped-conv archs: rule dsts must cover the backbone subtree exactly
     (torchvision resnext param names differ from resnet50 only in shapes)."""
