@@ -567,6 +567,75 @@ def convert_state_dict(
     return out, missing, unused
 
 
+def _invert_transform(value: np.ndarray, kind: str) -> np.ndarray:
+    """Inverse of :func:`_apply_transform`: flax array -> the torch-layout
+    array whose conversion reproduces it.  ``vit_pos`` is the one lossy kind
+    (the reference table's class-token slot has no flax counterpart); the
+    exported grid-only (1, g*g, C) table converts back bit-exact."""
+    if kind == "copy":
+        return value
+    if kind == "flatten":
+        return value.reshape(value.shape[0], 1, 1)
+    if kind == "conv":
+        return np.transpose(value, (3, 2, 0, 1))
+    if kind == "linear":
+        return np.transpose(value, (1, 0))
+    if kind == "deconv":
+        return np.transpose(value, (2, 3, 0, 1))
+    if kind == "vit_pos":
+        g, g2, c = value.shape
+        assert g == g2, value.shape
+        return value.reshape(1, g * g, c)
+    if kind == "dcn_kernel":
+        kk, cin, f = value.shape
+        k = int(round(kk ** 0.5))
+        return np.transpose(value.reshape(k, k, cin, f), (3, 2, 0, 1))
+    raise ValueError(f"non-invertible transform kind: {kind}")
+
+
+def export_torch_state_dict(
+    variables: Dict, rules: List[Tuple[str, str, str]]
+) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    """Inverse converter: flax variables -> a reference-layout (torch) state
+    dict, so weights trained in this framework can be consumed by the
+    reference implementation (/root/reference/test.py:107-112 load path) or
+    re-imported via :func:`load_reference_checkpoint`.
+
+    Merged tensors (nn.MultiheadAttention in_proj, reference
+    base_detector.py / torch semantics) are reassembled from their q/k/v
+    splits.  Returns (state_dict, skipped_dsts) — a rule whose dst is absent
+    from the tree (e.g. the TPU hybrid config's re-shaped encoder
+    sampling-offset head has no reference-shaped counterpart) is skipped and
+    reported rather than fatal."""
+    flat = flatten_variables(variables)
+    by_src: Dict[str, List[Tuple[str, str]]] = {}
+    for src, dst, kind in rules:
+        by_src.setdefault(src, []).append((dst, kind))
+    state: Dict[str, np.ndarray] = {}
+    skipped: List[str] = []
+    for src, entries in by_src.items():
+        if entries[0][1].startswith("inproj"):
+            # q/k/v splits -> one merged (3C, C) weight / (3C,) bias, in
+            # inproj_{w,b}{0,1,2} order
+            entries = sorted(entries, key=lambda e: e[1])
+            if any(dst not in flat for dst, _ in entries):
+                skipped += [dst for dst, _ in entries if dst not in flat]
+                continue
+            parts = [
+                np.transpose(flat[dst], (1, 0)) if kind.startswith("inproj_w")
+                else flat[dst]
+                for dst, kind in entries
+            ]
+            state[src] = np.concatenate(parts, axis=0)
+        else:
+            (dst, kind), = entries
+            if dst not in flat:
+                skipped.append(dst)
+                continue
+            state[src] = _invert_transform(flat[dst].astype(np.float32), kind)
+    return state, skipped
+
+
 def flat_to_nested(flat: Dict[str, np.ndarray]) -> Dict:
     """{a/b/c: v} -> nested variable dict {a: {b: {c: v}}}."""
     tree: Dict = {}

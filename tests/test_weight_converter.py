@@ -110,6 +110,51 @@ def test_vit_pos_transform_strips_class_token():
     np.testing.assert_array_equal(out2[0, 0], table[0, 1])
 
 
+def test_export_torch_state_dict_roundtrips():
+    """Inverse converter (export_torch_state_dict): exporting the flax tree
+    to reference torch layout and converting it back must reproduce every
+    parameter bit-exactly — the path that lets users hand weights trained
+    here back to the reference implementation (reference test.py:107-112)."""
+    from salience_detr_tpu.utils.weight_converter import (
+        _apply_converted,
+        convert_state_dict,
+        export_torch_state_dict,
+    )
+
+    cfg = SalienceDETRConfig()  # checkpoint-exact default geometry
+    model, _, _, _ = build_salience_detr(cfg)
+    B, H, W, M = 1, 64, 64, 4
+    targets = Targets(
+        jnp.zeros((B, M), jnp.int32), jnp.full((B, M, 4), 0.5),
+        jnp.ones((B, M), bool),
+    )
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "denoising": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            jnp.zeros((B, H, W, 3)), jnp.full((B, 2), 32, jnp.int32),
+            targets, train=True,
+        )
+    )
+    rng = np.random.default_rng(3)
+    variables = jax.tree.map(
+        lambda s: rng.normal(size=s.shape).astype(np.float32), shapes
+    )
+    rules = salience_detr_rules("resnet50")
+    state, skipped = export_torch_state_dict(variables, rules)
+    assert not skipped, skipped[:10]
+
+    zeros = jax.tree.map(np.zeros_like, variables)
+    flat_new, missing, unused = convert_state_dict(state, rules)
+    assert not missing and not unused, (missing[:5], unused[:5])
+    merged = _apply_converted(zeros, flat_new, missing, unused)
+    flat_a = flatten_variables(variables)
+    flat_b = flatten_variables(merged)
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_b[k], flat_a[k], err_msg=k)
+
+
 def test_eva_pos_table_applies_shape_exact():
     """EVA-02 pretrains at 224/patch16, so real checkpoints carry a
     (1, 14*14+1, C) learned pos table (reference vit.py:385).  The model's

@@ -34,7 +34,29 @@ def parse_args():
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--model-config",
                    default="configs/salience_detr/salience_detr_resnet50_800_1333.py")
+    p.add_argument(
+        "--sampling", default="shared_dec0",
+        help="deformable-sampling variant, same grammar as bench.py's "
+        "BENCH_SAMPLING: shared | groups<G> | exact, with optional _dec<D> "
+        "decoder override; default = the shipping hybrid flagship",
+    )
     return p.parse_args()
+
+
+def sampling_cfg(sampling: str):
+    """BENCH_SAMPLING grammar -> (sampling_groups, decoder_sampling_groups)
+    (bench.py keeps the same parse)."""
+    dec_groups = -1
+    if "_dec" in sampling:
+        sampling, dec = sampling.split("_dec")
+        dec_groups = int(dec)
+    if sampling.startswith("groups"):
+        groups = int(sampling[len("groups"):])
+    elif sampling == "shared":
+        groups = 1
+    else:
+        groups = 0
+    return groups, dec_groups
 
 
 def main():
@@ -42,7 +64,13 @@ def main():
     from salience_detr_tpu.models.bricks.criterion import Targets, default_weight_dict
     from salience_detr_tpu.models.factory import SalienceDETRConfig, build_salience_detr
 
-    cfg = SalienceDETRConfig(dtype=jnp.bfloat16, shared_sampling_locations=True)
+    groups, dec_groups = sampling_cfg(args.sampling)
+    cfg = SalienceDETRConfig(
+        dtype=jnp.bfloat16,
+        shared_sampling_locations=groups > 0,
+        sampling_groups=groups,
+        decoder_sampling_groups=dec_groups,
+    )
     model, criterion, sal_criterion, _ = build_salience_detr(cfg)
 
     B, H, W = args.batch, args.height, args.width

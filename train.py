@@ -65,6 +65,7 @@ def main():
     from salience_detr_tpu.utils.checkpoint import CheckpointManager, HighestCheckpoint
     from salience_detr_tpu.utils.config import Config
     from salience_detr_tpu.utils.coco_eval import CocoEvaluator
+    from salience_detr_tpu.utils.coco_utils import get_coco_index_from_dataset
     from salience_detr_tpu.utils.logging_utils import setup_logger
     from salience_detr_tpu.utils.tracker import TensorBoardTracker
 
@@ -191,6 +192,67 @@ def main():
             )
             logger.info(f"Loaded pretrained backbone from {backbone_weights}")
 
+        # full-detector fine-tune init (the reference's weights-only resume:
+        # a .pth resume_from_checkpoint goes through load_checkpoint + the
+        # tolerant strict=False load_state_dict, util/utils.py:370-423 —
+        # shape-mismatched heads, e.g. a different class count, are skipped).
+        # Accepts a reference/exported torch .pth (converter route) or an
+        # orbax checkpoint dir (weights-only restore + tolerant merge).
+        finetune_weights = cfg.get("finetune_weights")
+        if finetune_weights:
+            current = jax.device_get(
+                {"params": state.params, "frozen": state.frozen,
+                 "batch_stats": state.batch_stats or {}}
+            )
+            if str(finetune_weights).endswith(".pth"):
+                from salience_detr_tpu.utils.weight_converter import (
+                    load_reference_checkpoint,
+                    salience_detr_rules,
+                )
+
+                rules = salience_detr_rules(
+                    model_cfg.backbone, tuple(model_cfg.stage_with_dcn),
+                    num_encoder_layers=model_cfg.num_encoder_layers,
+                    num_decoder_layers=model_cfg.num_decoder_layers,
+                    num_levels=model_cfg.num_feature_levels,
+                    num_channel_mapper_convs=model_cfg.num_feature_levels,
+                )
+                updated = load_reference_checkpoint(
+                    current, finetune_weights, rules=rules, logger=logger
+                )
+            else:
+                from salience_detr_tpu.utils.checkpoint import tolerant_update
+                from salience_detr_tpu.utils.weight_converter import (
+                    flatten_variables,
+                )
+
+                restored = CheckpointManager(finetune_weights).restore_weights()
+                if restored is None:
+                    raise SystemExit(
+                        f"finetune_weights: no checkpoint under {finetune_weights}"
+                    )
+                updated = {}
+                total_applied = 0
+                for coll in ("params", "frozen", "batch_stats"):
+                    src = restored.get(coll) or {}
+                    merged, applied, _ = tolerant_update(
+                        current[coll], flatten_variables(src), logger=logger
+                    )
+                    updated[coll] = merged
+                    total_applied += applied
+                if total_applied == 0:
+                    raise SystemExit(
+                        "finetune_weights applied 0 tensors — wrong model?"
+                    )
+                logger.info(
+                    f"finetune init: applied {total_applied} tensors from "
+                    f"{finetune_weights}"
+                )
+            state = state.replace(
+                params=updated["params"], frozen=updated.get("frozen", {}),
+                batch_stats=updated.get("batch_stats", {}),
+            )
+
         ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
         best = HighestCheckpoint(ckpt)
         starting_epoch = cfg.get("starting_epoch", 0)
@@ -254,7 +316,11 @@ def main():
                     metadata=ckpt_metadata,
                 )
 
-                evaluator = CocoEvaluator(test_dataset.coco)
+                # get_coco_index_from_dataset short-circuits to the JSON
+                # index when present and synthesizes one via
+                # convert_to_coco_api for JSON-less custom datasets
+                # (reference coco_utils.py:80-88)
+                evaluator = CocoEvaluator(get_coco_index_from_dataset(test_dataset))
                 eval_loader = DevicePrefetcher(test_loader, device_put)
                 stats = evaluate(
                     eval_step, state, eval_loader, evaluator, logger=logger,
