@@ -163,6 +163,7 @@ def main():
         shared_sampling_locations=groups > 0,
         sampling_groups=groups,
         decoder_sampling_groups=dec_groups,
+        sort_encoder_prefix=os.environ.get("BENCH_SORT_PREFIX", "0") == "1",
         remat_policy=os.environ.get("REMAT_POLICY", "full"),
     )
     model, criterion, sal_criterion, _ = build_salience_detr(cfg)

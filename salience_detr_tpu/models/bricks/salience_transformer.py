@@ -242,6 +242,14 @@ class SalienceTransformer(nn.Module):
     # are a rounding error next to the encoder's ~41k query-layers, so exact
     # decoder sampling buys back per-head diversity nearly for free
     decoder_sampling_groups: int = -1
+    # re-order each encoder layer's foreground prefix by ascending flat
+    # spatial index before the gather/layer/scatter trio.  MSDA output is
+    # per-query, the pre-attn top-300 is selected by score, and the
+    # scatter-back indices are unique, so the permutation is semantics-free
+    # (modulo top-k tie breaks) — but it turns the score-ordered (spatially
+    # random) HBM access pattern of the corner gathers, the query gathers,
+    # and the scatter-back into a near-sequential one (tools/bench_locality)
+    sort_encoder_prefix: bool = False
     # rematerialize encoder/decoder layers in backward: the deformable
     # attention's gathered rows (~1.5GB/layer at the 800x1344 canvas) would
     # otherwise be saved as residuals and exhaust HBM
@@ -498,6 +506,14 @@ class SalienceTransformer(nn.Module):
         for layer_id, layer in enumerate(self.encoder_layers):
             with jax.named_scope(f"encoder_layer_{layer_id}"):
                 inds = selected_inds[:, : layer_ks[layer_id]]  # (B, K_i)
+                # focus mask rides the score order; compute BEFORE any re-sort
+                pos_rank = jnp.arange(inds.shape[1])[None, :]
+                upd = pos_rank < focus_token_nums[:, None]
+                if self.sort_encoder_prefix:
+                    with jax.named_scope("prefix_sort"):
+                        perm = jnp.argsort(inds, axis=1)
+                        inds = jnp.take_along_axis(inds, perm, axis=1)
+                        upd = jnp.take_along_axis(upd, perm, axis=1)
                 last_inds = inds
                 # top_k indices are always in [0, S): promise_in_bounds skips
                 # the clamp+select pass the default fill mode adds per gather
@@ -520,8 +536,6 @@ class SalienceTransformer(nn.Module):
                     score_tgt, fg_pre, train,
                 )
                 # masked scatter back (:474-485): per-image focus prefix only
-                pos_rank = jnp.arange(inds.shape[1])[None, :]
-                upd = pos_rank < focus_token_nums[:, None]
                 cur = jnp.take_along_axis(
                     output, inds[..., None], axis=1, mode="promise_in_bounds"
                 )

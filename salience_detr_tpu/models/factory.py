@@ -54,6 +54,9 @@ class SalienceDETRConfig:
     # fraction of the encoder's ~41k query-layers, so exact decoder sampling
     # restores per-head diversity nearly for free
     decoder_sampling_groups: int = -1
+    # spatially re-sort each encoder layer's foreground prefix (gather/
+    # scatter locality; see SalienceTransformer.sort_encoder_prefix)
+    sort_encoder_prefix: bool = False
     # backbone
     backbone: str = "resnet50"
     backbone_return_indices: Tuple[int, ...] = (1, 2, 3)
@@ -154,6 +157,7 @@ def build_salience_detr(cfg: SalienceDETRConfig):
         shared_locations=cfg.shared_sampling_locations,
         sampling_groups=cfg.sampling_groups,
         decoder_sampling_groups=cfg.decoder_sampling_groups,
+        sort_encoder_prefix=cfg.sort_encoder_prefix,
         remat_policy=cfg.remat_policy,
         dtype=cfg.dtype,
     )

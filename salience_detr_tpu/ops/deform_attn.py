@@ -32,14 +32,22 @@ from jax.ad_checkpoint import checkpoint_name
 _SKIP_CKPT_NAME = os.environ.get("MSDA_SKIP_CKPT_NAME", "0") == "1"
 
 # Corner/attention reduce formulation for the head-shared core.  "einsum"
-# (the default) lowers both reduction stages as value-dtype dot_generals with
-# f32 accumulation.  "unrolled" expresses them as elementwise multiply-adds —
+# lowers both reduction stages as value-dtype dot_generals with f32
+# accumulation.  "unrolled" expresses them as elementwise multiply-adds —
 # it was briefly the default at the end of round 3 on the theory that it
 # avoids dot_general layout retiles, but the driver A/B settled it: the
 # unrolled form's per-slice f32 upcasts double the traffic over the gathered
 # gigabytes and REGRESSED the measured bench (20.7 vs 30.4 img/s inference,
 # 5.1 vs 6.3 img/s train — BENCH_r03.json vs the 2026-08-19 einsum re-run
-# under identical driver conditions).  Kept only as an A/B knob.
+# under identical driver conditions).  "mulsum" keeps the stage-1 corner
+# collapse as the einsum dot (it reads the gathered gigabytes exactly once)
+# but lowers stage 2 — the small per-head attention reduce over L*P=16
+# items — as a broadcast multiply + sum, on the theory that the dot_general
+# there forced a layout retile of the full f32 stage-1 output between the
+# two dots (the r5 trace's unattributed ~6ms/iter of f32[B,Qc,L,P,C]
+# copies).  The on-chip A/B was a wash (26.30 vs 26.38 img/s inference,
+# 2026-08-20 driver-condition runs): the elementwise stage 2 costs what the
+# retile cost.  einsum stays the default; mulsum is kept as an A/B knob.
 _REDUCE_MODE = os.environ.get("MSDA_REDUCE", "einsum")
 
 # Reduce dtype for the EXACT per-head quad core: "value" (default) consumes
@@ -297,11 +305,18 @@ def ms_deform_attn_core_quad(
                 "bhqpc,bhqpcd->bhqpd",
                 slotw_levels[lvl][:, :, s0:s1].astype(g.dtype), g,
             )
-            out_c = out_c + jnp.einsum(
-                "bhqp,bhqpd->bhqd",
-                attn_bh[:, :, s0:s1, lvl].astype(g.dtype), sampled,
-                preferred_element_type=jnp.float32,
-            )
+            a = attn_bh[:, :, s0:s1, lvl]
+            if _REDUCE_MODE == "mulsum":
+                # stage 2 elementwise (see _collapse_gathered): a dot_general
+                # here retiles stage 1's full output between the two dots
+                out_c = out_c + jnp.sum(
+                    sampled.astype(jnp.float32) * a[..., None], axis=3
+                )
+            else:
+                out_c = out_c + jnp.einsum(
+                    "bhqp,bhqpd->bhqd", a.astype(g.dtype), sampled,
+                    preferred_element_type=jnp.float32,
+                )
         return out_c
 
     q_chunk = derive_q_chunk(
@@ -541,6 +556,15 @@ def _collapse_gathered(g, cw_c, attn_c, B, Qc, L, P, H, C):
         return out.reshape(B, Qc, C)
     cw5 = cw_c.reshape(B, Qc, L, 4, P).astype(g.dtype)
     sampled = jnp.einsum("bqlcp,bqlcpe->bqlpe", cw5, g)
+    if _REDUCE_MODE == "mulsum":
+        # stage 2 as broadcast-multiply + sum over the L*P=16 items: unlike a
+        # dot_general it consumes stage 1's output in whatever layout the
+        # stage-1 dot produced (no retile copy), and the f32 accumulate reads
+        # `sampled` once
+        sampled = sampled.reshape(B, Qc, L * P, H, D).astype(jnp.float32)
+        a = attn_c.reshape(B, Qc, H, L * P).transpose(0, 1, 3, 2)
+        out = jnp.sum(sampled * a[..., None], axis=2)
+        return out.reshape(B, Qc, C)
     sampled = sampled.reshape(B, Qc, L, P, H, D)
     out = jnp.einsum(
         "bqhlp,bqlphd->bqhd", attn_c.astype(g.dtype), sampled,

@@ -110,6 +110,33 @@ class TestModelForward:
         for k, v in losses.items():
             assert np.isfinite(float(v)), f"{k} not finite"
 
+    def test_sort_encoder_prefix_is_semantics_free(self, model_and_vars):
+        """sort_encoder_prefix re-orders each encoder layer's foreground
+        prefix for gather locality; MSDA is per-query, the pre-attn top-k is
+        a set selection, and the scatter-back indices are unique, so eval
+        outputs must match the unsorted model up to f32 reduction-order
+        noise (the pre-attn key order changes dot accumulation order)."""
+        cfg, model, _, _, _, variables = model_and_vars
+        images, image_sizes, _ = make_inputs()
+        out_ref = jax.jit(lambda im, sz: model.apply(variables, im, sz, train=False))(
+            images, image_sizes
+        )
+        cfg_s = tiny_config(sort_encoder_prefix=True)
+        model_s, _, _, _ = build_salience_detr(cfg_s)
+        out_s = jax.jit(lambda im, sz: model_s.apply(variables, im, sz, train=False))(
+            images, image_sizes
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s["pred_class"], np.float32),
+            np.asarray(out_ref["pred_class"], np.float32),
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s["pred_coord"], np.float32),
+            np.asarray(out_ref["pred_coord"], np.float32),
+            rtol=2e-3, atol=2e-3,
+        )
+
     def test_gradients(self, model_and_vars):
         cfg, model, criterion, sal_criterion, _, variables = model_and_vars
         images, image_sizes, targets = make_inputs()
