@@ -48,6 +48,21 @@ _SKIP_CKPT_NAME = os.environ.get("MSDA_SKIP_CKPT_NAME", "0") == "1"
 # copies).  The on-chip A/B was a wash (26.30 vs 26.38 img/s inference,
 # 2026-08-20 driver-condition runs): the elementwise stage 2 costs what the
 # retile cost.  einsum stays the default; mulsum is kept as an A/B knob.
+# "fused" (round 5) collapses BOTH stages into one pass: the bilinear corner
+# weights and the per-head attention weights are folded into a single
+# (B, Q, items, H) weight tensor (tiny — no C axis), which is broadcast-
+# multiplied against the gathered rows viewed as (B, Q, items, H, D) — a
+# pure bitcast of the gather output, C minor end to end — and summed over
+# the items axis with f32 accumulation.  One loop fusion, zero dot_generals,
+# zero layout retiles: built to remove the r5 trace's 5 ms/layer reshape
+# copy and the 75%-lane-wasted T(4,128) stage-1 contraction (the corners
+# axis is only 4 wide, so the stage-1 dot tiles at a quarter-full lane
+# grid).  MEASURED AND REJECTED on chip (2026-08-20 driver conditions):
+# 14.60 img/s inference vs 26.38 einsum — XLA does NOT keep the broadcast
+# multiply + 3-axis reduce in registers at this size; the product path
+# costs far more than the dot retiles it saves (same failure family as the
+# r3 "unrolled" flip).  einsum stays the default; fused is kept as the
+# recorded negative result.
 _REDUCE_MODE = os.environ.get("MSDA_REDUCE", "einsum")
 
 # Reduce dtype for the EXACT per-head quad core: "value" (default) consumes
@@ -296,6 +311,18 @@ def ms_deform_attn_core_quad(
             if not _SKIP_CKPT_NAME:
                 g = checkpoint_name(g, "msda_gather")
             g = g.reshape(B, H, qc, P, 4, D)
+            if _REDUCE_MODE == "fused":
+                # one-pass reduce (see _collapse_gathered): slot weights and
+                # attention weights fold into one (B, H, qc, P, 4) tensor;
+                # the gathered (..., P, 4, D) view is a bitcast of the
+                # (4*D)-wide quad rows, so the multiply+reduce is a single
+                # loop fusion with no dot_general and no retile.
+                a = attn_bh[:, :, s0:s1, lvl]  # (B, H, qc, P) f32
+                w_full = slotw_levels[lvl][:, :, s0:s1] * a[..., None]
+                out_c = out_c + jnp.sum(
+                    g.astype(jnp.float32) * w_full[..., None], axis=(3, 4)
+                )
+                continue
             if _EXACT_REDUCE == "f32":
                 # legacy fp32-island reduce: upcasts the gathered rows first
                 g = g.astype(jnp.float32)
@@ -539,6 +566,22 @@ def _collapse_gathered(g, cw_c, attn_c, B, Qc, L, P, H, C):
     """
     D = C // H
     g = g.reshape(B, Qc, L, 4, P, C)
+    if _REDUCE_MODE == "fused":
+        # one-pass reduce: fold corner and attention weights into a single
+        # (B, Qc, L, 4, P, H) tensor (no C axis — cheap to materialize),
+        # then broadcast-multiply the gathered rows and reduce the L*4*P
+        # items in one f32 loop fusion.  g's (B, Qc, L, 4, P, H, D) view is
+        # a bitcast of the gather output (row-major, C minor), so no
+        # layout copy and no dot_general is emitted.
+        w_full = (
+            cw_c.reshape(B, Qc, L, 4, P, 1)
+            * jnp.transpose(attn_c, (0, 1, 3, 4, 2))[:, :, :, None]
+        )  # (B, Qc, L, 4, P, H) f32
+        g7 = g.reshape(B, Qc, L, 4, P, H, D)
+        out = jnp.sum(
+            g7.astype(jnp.float32) * w_full[..., None], axis=(2, 3, 4)
+        )  # (B, Qc, H, D) f32
+        return out.reshape(B, Qc, C)
     if _REDUCE_MODE == "unrolled":
         cw5 = cw_c.reshape(B, Qc, L, 4, P)
         sampled = None

@@ -171,6 +171,23 @@ class TestQuadCore:
         )
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
+    def test_fused_reduce_matches_default(self, monkeypatch):
+        # MSDA_REDUCE=fused must be numerically equivalent (f32 register
+        # accumulate vs f32-accumulated dots) in the quad core's level loop
+        import salience_detr_tpu.ops.deform_attn as da
+
+        value, locs, w = make_inputs(12)
+        base = np.asarray(
+            da.ms_deform_attn_core_quad(
+                jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w))
+        )
+        monkeypatch.setattr(da, "_REDUCE_MODE", "fused")
+        fused = np.asarray(
+            da.ms_deform_attn_core_quad(
+                jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(w))
+        )
+        np.testing.assert_allclose(fused, base, rtol=1e-5, atol=1e-6)
+
     def test_matches_numpy_spec_at_borders(self):
         from salience_detr_tpu.ops.deform_attn import ms_deform_attn_core_quad
 
@@ -419,12 +436,14 @@ class TestQuadScatterGrad:
 
     def test_grads_match_both_reduce_modes(self, monkeypatch):
         # the MSDA_REDUCE knob selects between the einsum (default; the
-        # unrolled form regressed the driver bench — see deform_attn.py) and
-        # unrolled formulations of BOTH the forward reduce and the custom-VJP
-        # backward; each must match the autodiff backward under the same mode
+        # unrolled form regressed the driver bench — see deform_attn.py),
+        # unrolled, mulsum (elementwise stage 2), and fused (single-pass
+        # multiply+reduce, round 5) formulations of BOTH the forward reduce
+        # and the custom-VJP backward; each must match the autodiff backward
+        # under the same mode
         import salience_detr_tpu.ops.deform_attn as da
 
-        for mode in ("unrolled", "einsum"):
+        for mode in ("unrolled", "einsum", "mulsum", "fused"):
             monkeypatch.setattr(da, "_REDUCE_MODE", mode)
             va, ga = self._grads(False, 24, SHAPES)
             vq, gq = self._grads(True, 24, SHAPES)

@@ -84,6 +84,28 @@ class TestModelForward:
         dets = post(out["pred_class"][-1], out["pred_coord"][-1], image_sizes)
         assert dets["boxes"].shape == (B, cfg.select_box_nums_for_evaluation, 4)
 
+    def test_fp16_eval_forward(self):
+        # train.py --mixed-precision fp16 (parity with the reference's fp16
+        # AMP flag, reference main.py:27-35): the compute path runs in
+        # float16 with f32 islands where the bf16 path has them; outputs
+        # must stay finite and in-range
+        cfg = tiny_config(dtype=jnp.float16)
+        model, _, _, _ = build_salience_detr(cfg)
+        images, image_sizes, _ = make_inputs()
+        variables = jax.jit(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0)}, images, image_sizes,
+                train=False,
+            )
+        )()
+        out = jax.jit(lambda im, sz: model.apply(variables, im, sz, train=False))(
+            images, image_sizes
+        )
+        assert np.isfinite(np.asarray(out["pred_class"])).all()
+        coords = np.asarray(out["pred_coord"])
+        assert np.isfinite(coords).all()
+        assert (coords >= 0).all() and (coords <= 1).all()
+
     def test_train_forward_and_loss(self, model_and_vars):
         cfg, model, criterion, sal_criterion, _, variables = model_and_vars
         images, image_sizes, targets = make_inputs()

@@ -20,8 +20,11 @@ def parse_args():
     p = argparse.ArgumentParser("Salience-DETR TPU training")
     p.add_argument("--config-file", default="configs/train_config.py")
     p.add_argument(
-        "--mixed-precision", default="bf16", choices=["no", "bf16"],
-        help="bf16 runs the compute path in bfloat16 on the MXU",
+        "--mixed-precision", default="bf16", choices=["no", "bf16", "fp16"],
+        help="bf16 runs the compute path in bfloat16 on the MXU (the TPU-"
+        "native choice); fp16 mirrors the reference's fp16 AMP flag "
+        "(reference main.py:27-35) for parity — same dynamic range caveats "
+        "as torch AMP apply, and bf16 is preferred on TPU",
     )
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--num-devices", type=int, default=None)
@@ -74,6 +77,10 @@ def main():
     model_cfg = Config(cfg.model_path).model_config
     if args.mixed_precision == "bf16":
         model_cfg.dtype = jnp.bfloat16
+    elif args.mixed_precision == "fp16":
+        # parity with the reference's fp16 AMP option; params/optimizer and
+        # the loss/matching path stay f32 (mixed-precision, not casting)
+        model_cfg.dtype = jnp.float16
 
     seed = args.seed if args.seed is not None else int.from_bytes(os.urandom(2), "big")
 
