@@ -84,7 +84,8 @@ def make_rich_dataset(root, n_images, seed, canvas):
         ).astype(np.uint8)
         # low-contrast distractor clutter (gray blobs, not annotated)
         for _ in range(int(rng.integers(3, 9))):
-            dw, dh = rng.integers(20, 160, 2)
+            dw = int(rng.integers(20, min(160, W - 1)))
+            dh = int(rng.integers(20, min(160, H - 1)))
             x = int(rng.integers(0, W - dw))
             y = int(rng.integers(0, H - dh))
             tone = int(rng.integers(70, 110))
