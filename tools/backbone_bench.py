@@ -162,7 +162,14 @@ def main():
     p.add_argument("--out", default="docs/backbone_bench_r5.json")
     args = p.parse_args()
 
+    # merge with prior runs (a retry of one config must not clobber the rest)
     results = []
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f).get("results", [])
+        except Exception:
+            results = []
     for name in args.configs:
         print(f"== {name} ==", flush=True)
         try:
@@ -172,7 +179,7 @@ def main():
             traceback.print_exc()
             rec = {"config": name, "error": f"{type(e).__name__}: {e}"[:300]}
         print(json.dumps(rec), flush=True)
-        results.append(rec)
+        results = [r for r in results if r.get("config") != name] + [rec]
         # flush per config so a crash mid-sweep loses nothing
         with open(args.out, "w") as f:
             json.dump({"canvas": [800, 1344], "results": results}, f, indent=1)
